@@ -1,0 +1,242 @@
+"""Ops tests — mirrors ref ch01/test_ch01.py + ch06/test_ch06.py semantics:
+shape contracts, causality via future-token perturbation, RMS≈1 after norm,
+softmax invariants, fused/unfused and online/standard equivalences."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from physics_llm_inference_tpu.ops import (
+    rms_norm, rope_frequencies, apply_rope,
+    naive_attention, causal_attention, multi_head_attention,
+    attention_flops, attention_memory_bytes, attention_arithmetic_intensity,
+    gqa_attention, kv_cache_bytes_per_token,
+    ffn_relu, swiglu, fused_swiglu,
+    online_softmax, online_softmax_with_output,
+    sample_token, greedy_sample,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def rand(*shape, key=KEY, scale=1.0):
+    return jax.random.normal(key, shape) * scale
+
+
+class TestNorms:
+    def test_rms_is_one_after_norm(self):
+        # ref ch01/test_ch01.py:140-150
+        x = rand(2, 8, 64, key=jax.random.PRNGKey(1)) * 5
+        w = jnp.ones(64)
+        out = rms_norm(x, w)
+        rms = jnp.sqrt(jnp.mean(out**2, axis=-1))
+        np.testing.assert_allclose(rms, 1.0, rtol=1e-3)
+
+    def test_weight_scales(self):
+        x = rand(1, 4, 32)
+        out2 = rms_norm(x, jnp.full(32, 2.0))
+        out1 = rms_norm(x, jnp.ones(32))
+        np.testing.assert_allclose(out2, out1 * 2, rtol=1e-5)
+
+    def test_bf16_passthrough_dtype(self):
+        x = rand(1, 4, 32).astype(jnp.bfloat16)
+        assert rms_norm(x, jnp.ones(32)).dtype == jnp.bfloat16
+
+
+class TestRope:
+    def test_shapes_and_norm_preserved(self):
+        cos, sin = rope_frequencies(64, 128)
+        x = rand(2, 16, 4, 64)
+        pos = jnp.broadcast_to(jnp.arange(16)[None], (2, 16))
+        out = apply_rope(x, cos, sin, pos)
+        assert out.shape == x.shape
+        # rotation preserves per-pair norms → total norm
+        np.testing.assert_allclose(
+            jnp.linalg.norm(out, axis=-1), jnp.linalg.norm(x, axis=-1), rtol=1e-4)
+
+    def test_position_zero_identity(self):
+        cos, sin = rope_frequencies(32, 8)
+        x = rand(1, 1, 2, 32)
+        out = apply_rope(x, cos, sin, jnp.zeros((1, 1), dtype=jnp.int32))
+        np.testing.assert_allclose(out, x, atol=1e-6)
+
+    def test_relative_position_property(self):
+        # q·k after rope depends only on relative distance
+        cos, sin = rope_frequencies(64, 64)
+        q = rand(1, 1, 1, 64, key=jax.random.PRNGKey(2))
+        k = rand(1, 1, 1, 64, key=jax.random.PRNGKey(3))
+        def dot_at(pq, pk):
+            qr = apply_rope(q, cos, sin, jnp.array([[pq]]))
+            kr = apply_rope(k, cos, sin, jnp.array([[pk]]))
+            return float(jnp.sum(qr * kr))
+        assert dot_at(5, 3) == pytest.approx(dot_at(10, 8), rel=1e-4)
+
+
+class TestAttention:
+    def test_shapes(self):
+        q = rand(2, 4, 16, 32)
+        out = naive_attention(q, q, q)
+        assert out.shape == q.shape
+
+    def test_constant_v_returns_constant(self):
+        # ref ch06/test_ch06.py:67-73
+        q = rand(1, 2, 8, 16)
+        k = rand(1, 2, 8, 16, key=jax.random.PRNGKey(7))
+        v = jnp.full((1, 2, 8, 16), 3.0)
+        np.testing.assert_allclose(naive_attention(q, k, v), 3.0, rtol=1e-5)
+
+    def test_causality_future_perturbation(self):
+        # ref ch01/test_ch01.py:22-39: changing future tokens must not change past outputs
+        q = rand(1, 1, 8, 16)
+        k = rand(1, 1, 8, 16, key=jax.random.PRNGKey(5))
+        v = rand(1, 1, 8, 16, key=jax.random.PRNGKey(6))
+        out1 = causal_attention(q, k, v)
+        k2 = k.at[:, :, -1].set(99.0)
+        v2 = v.at[:, :, -1].set(99.0)
+        out2 = causal_attention(q, k2, v2)
+        np.testing.assert_allclose(out1[:, :, :-1], out2[:, :, :-1], atol=1e-5)
+        assert not np.allclose(out1[:, :, -1], out2[:, :, -1])
+
+    def test_causal_offset_rectangular(self):
+        # decode: 1 query at position 7 vs full causal row
+        q = rand(1, 1, 8, 16)
+        k = rand(1, 1, 8, 16, key=jax.random.PRNGKey(8))
+        v = rand(1, 1, 8, 16, key=jax.random.PRNGKey(9))
+        full = causal_attention(q, k, v)
+        last = causal_attention(q[:, :, -1:], k, v, offset=7)
+        np.testing.assert_allclose(last[:, :, 0], full[:, :, -1], atol=1e-5)
+
+    def test_mha_shape_and_causality(self):
+        d = 64
+        x = rand(2, 8, d)
+        w = [rand(d, d, key=jax.random.PRNGKey(i)) * 0.1 for i in range(4)]
+        out = multi_head_attention(x, *w, num_heads=4)
+        assert out.shape == x.shape
+        x2 = x.at[:, -1].set(5.0)
+        out2 = multi_head_attention(x2, *w, num_heads=4)
+        np.testing.assert_allclose(out[:, :-1], out2[:, :-1], atol=1e-4)
+
+    def test_analysis_formulas(self):
+        # ref ch06/test_ch06.py accounting semantics
+        assert attention_flops(1, 1, 128, 64) == 2 * 2 * 128 * 128 * 64
+        mem = attention_memory_bytes(1, 32, 1024, 128)
+        assert mem["scores_bytes"] == 2 * 32 * 1024 * 1024 * 2
+        assert attention_arithmetic_intensity(1, 32, 4096, 128) > 0
+
+
+class TestGQA:
+    def test_matches_mha_when_heads_equal(self):
+        d = 64
+        x = rand(2, 8, d)
+        w = [rand(d, d, key=jax.random.PRNGKey(i + 10)) * 0.1 for i in range(4)]
+        out_g = gqa_attention(x, *w, num_heads=4, num_kv_heads=4)
+        out_m = multi_head_attention(x, *w, num_heads=4)
+        np.testing.assert_allclose(out_g, out_m, atol=1e-5)
+
+    def test_grouped_matches_expanded_kv(self):
+        # grouped einsum path ≡ repeat_interleave expansion (ref ch01/gqa.py:30-31)
+        d, hq, hkv = 64, 8, 2
+        hd = d // hq
+        x = rand(2, 8, d, key=jax.random.PRNGKey(11))
+        wq = rand(d, d, key=jax.random.PRNGKey(12)) * 0.1
+        wk = rand(d, hkv * hd, key=jax.random.PRNGKey(13)) * 0.1
+        wv = rand(d, hkv * hd, key=jax.random.PRNGKey(14)) * 0.1
+        wo = rand(d, d, key=jax.random.PRNGKey(15)) * 0.1
+        out = gqa_attention(x, wq, wk, wv, wo, hq, hkv)
+        # expanded-KV reference
+        b, s = x.shape[:2]
+        q = (x @ wq).reshape(b, s, hq, hd).transpose(0, 2, 1, 3)
+        k = (x @ wk).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
+        v = (x @ wv).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
+        k = jnp.repeat(k, hq // hkv, axis=1)
+        v = jnp.repeat(v, hq // hkv, axis=1)
+        ref = causal_attention(q, k, v)
+        ref = ref.transpose(0, 2, 1, 3).reshape(b, s, d) @ wo
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_kv_bytes(self):
+        # ref: 4096 B @ 8 kv-heads, 128 head_dim, fp16 (ch02/test_ch02.py:106-119)
+        assert kv_cache_bytes_per_token(8, 128, 2) == 4096
+        # GQA 8 kv vs MHA 32 → 4x (ref :133-144)
+        assert kv_cache_bytes_per_token(32, 128, 2) == 4 * kv_cache_bytes_per_token(8, 128, 2)
+
+
+class TestFFN:
+    def test_fused_matches_unfused(self):
+        # ref ch01/test_ch01.py:110-128 with copied weights
+        d, f = 32, 64
+        x = rand(2, 4, d)
+        wg = rand(d, f, key=jax.random.PRNGKey(20)) * 0.1
+        wu = rand(d, f, key=jax.random.PRNGKey(21)) * 0.1
+        wd = rand(f, d, key=jax.random.PRNGKey(22)) * 0.1
+        fused_w = jnp.concatenate([wg, wu], axis=1)
+        np.testing.assert_allclose(
+            swiglu(x, wg, wu, wd), fused_swiglu(x, fused_w, wd), atol=1e-5)
+
+    def test_relu_ffn_nonneg_hidden(self):
+        x = rand(1, 4, 16)
+        w_up = rand(16, 32, key=jax.random.PRNGKey(23))
+        out = ffn_relu(x, w_up, jnp.eye(32, 16))
+        assert out.shape == (1, 4, 16)
+
+
+class TestOnlineSoftmax:
+    def test_matches_standard(self):
+        # ref ch06/test_ch06.py:84-94
+        x = rand(4, 300, key=jax.random.PRNGKey(30))
+        np.testing.assert_allclose(
+            online_softmax(x, chunk=64), jax.nn.softmax(x, axis=-1), rtol=1e-5, atol=1e-6)
+
+    def test_numerical_stability_large_values(self):
+        # ref ch06/test_ch06.py:96-100: x ≈ 1000 must not overflow
+        x = rand(2, 256, key=jax.random.PRNGKey(31)) + 1000.0
+        out = online_softmax(x, chunk=32)
+        assert bool(jnp.all(jnp.isfinite(out)))
+        np.testing.assert_allclose(jnp.sum(out, axis=-1), 1.0, rtol=1e-5)
+
+    def test_with_output_matches_softmax_matmul(self):
+        s = rand(4, 200, key=jax.random.PRNGKey(32))
+        v = rand(200, 16, key=jax.random.PRNGKey(33))
+        expected = jax.nn.softmax(s, axis=-1) @ v
+        np.testing.assert_allclose(
+            online_softmax_with_output(s, v, chunk=64), expected, rtol=1e-4, atol=1e-5)
+
+
+class TestSampling:
+    def test_greedy_is_argmax(self):
+        logits = rand(4, 100, key=jax.random.PRNGKey(40))
+        np.testing.assert_array_equal(greedy_sample(logits), jnp.argmax(logits, -1))
+
+    def test_temperature_zero_is_greedy(self):
+        logits = rand(4, 100, key=jax.random.PRNGKey(41))
+        out = sample_token(logits, jax.random.PRNGKey(0), temperature=0.0)
+        np.testing.assert_array_equal(out, greedy_sample(logits))
+
+    def test_top_k_restricts_support(self):
+        logits = rand(1, 50, key=jax.random.PRNGKey(42))
+        topk_ids = set(np.array(jax.lax.top_k(logits, 5)[1][0]))
+        for i in range(20):
+            t = sample_token(logits, jax.random.PRNGKey(i), temperature=1.5, top_k=5)
+            assert int(t[0]) in topk_ids
+
+    def test_top_p_tiny_is_near_greedy(self):
+        # ref ch10/engine.py:104-113: nucleus keeps at least the top token
+        logits = rand(1, 50, key=jax.random.PRNGKey(43))
+        for i in range(10):
+            t = sample_token(logits, jax.random.PRNGKey(i), temperature=2.0, top_p=1e-6)
+            assert int(t[0]) == int(greedy_sample(logits)[0])
+
+    def test_jit_with_traced_temperature(self):
+        # temperature is a runtime arg — one compile serves all temperatures
+        f = jax.jit(lambda lg, rng, t: sample_token(lg, rng, temperature=t))
+        logits = rand(2, 64, key=jax.random.PRNGKey(44))
+        out1 = f(logits, jax.random.PRNGKey(0), 0.0)
+        out2 = f(logits, jax.random.PRNGKey(0), 1.0)
+        assert out1.shape == out2.shape == (2,)
+        np.testing.assert_array_equal(out1, greedy_sample(logits))
+
+    def test_mixed_greedy_sampled_batch(self):
+        logits = rand(2, 64, key=jax.random.PRNGKey(45))
+        t = jnp.array([0.0, 1.0])
+        out = sample_token(logits, jax.random.PRNGKey(1), temperature=t)
+        assert int(out[0]) == int(greedy_sample(logits)[0])
