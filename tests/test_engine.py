@@ -1,0 +1,163 @@
+"""Engine integration tests — the wiring the reference never has (its engine
+uses a dummy model and no cache, ch10/engine.py:64-70). Covers continuous
+batching against the real model, greedy parity with cached_generate, slot
+reuse, streaming, abort, and admission limits."""
+import jax
+import numpy as np
+import pytest
+
+from physics_llm_inference_tpu.models import ModelConfig, init_params
+from physics_llm_inference_tpu.runtime import cached_generate
+from physics_llm_inference_tpu.serve import (
+    InferenceEngine, EngineConfig, GenerationRequest,
+)
+
+CFG = ModelConfig(vocab_size=100, hidden_dim=64, num_layers=2, num_heads=4,
+                  num_kv_heads=2, intermediate_dim=128, max_seq_len=128,
+                  dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.PRNGKey(0), CFG)
+
+
+def engine(params, **kw):
+    kw.setdefault("num_slots", 4)
+    kw.setdefault("max_seq_len", 64)
+    kw.setdefault("prompt_buckets", (8, 16, 32))
+    return InferenceEngine(params, CFG, EngineConfig(**kw))
+
+
+class TestSingleRequest:
+    def test_greedy_matches_cached_generate(self, params):
+        """Engine path (slot pool, per-slot offsets) ≡ batch generate path."""
+        prompt = [5, 17, 3, 42, 8]
+        ref = cached_generate(params, CFG, [prompt], 6, temperature=0.0)
+        eng = engine(params)
+        res = eng.generate(GenerationRequest(prompt_tokens=prompt,
+                                             max_tokens=6, temperature=0.0))
+        np.testing.assert_array_equal(res.tokens, ref.tokens[0])
+        assert res.finish_reason == "length"
+        assert res.ttft_s is not None and res.ttft_s >= 0
+
+    def test_stop_token(self, params):
+        eng = engine(params)
+        free = eng.generate(GenerationRequest(prompt_tokens=[1, 2, 3],
+                                              max_tokens=8, temperature=0.0))
+        stop = free.tokens[3]
+        eng2 = engine(params)
+        res = eng2.generate(GenerationRequest(prompt_tokens=[1, 2, 3],
+                                              max_tokens=8, temperature=0.0,
+                                              stop_tokens=(stop,)))
+        assert res.finish_reason == "stop"
+        assert res.tokens == free.tokens[:4]
+
+    def test_oversized_prompt_rejected(self, params):
+        eng = engine(params)
+        with pytest.raises(ValueError):
+            eng.submit_request(GenerationRequest(
+                prompt_tokens=list(range(60)), max_tokens=30))
+
+
+class TestContinuousBatching:
+    def test_multi_request_parity_with_solo(self, params):
+        """Requests decoded together in the slot pool must match solo runs."""
+        prompts = [[5, 17, 3], [7, 1, 9, 2], [4]]
+        eng = engine(params)
+        rids = [eng.submit_request(GenerationRequest(prompt_tokens=p,
+                                                     max_tokens=5,
+                                                     temperature=0.0))
+                for p in prompts]
+        eng.run_until_done(rids)
+        for p, rid in zip(prompts, rids):
+            solo = cached_generate(params, CFG, [p], 5, temperature=0.0)
+            np.testing.assert_array_equal(eng.get_result(rid).tokens,
+                                          solo.tokens[0])
+
+    def test_late_arrival_joins_batch(self, params):
+        """Continuous batching admits mid-stream (the Orca property)."""
+        eng = engine(params)
+        r1 = eng.submit_request(GenerationRequest(prompt_tokens=[5, 17, 3],
+                                                  max_tokens=8,
+                                                  temperature=0.0))
+        eng.step()  # r1 prefilled
+        eng.step()  # r1 decoding
+        r2 = eng.submit_request(GenerationRequest(prompt_tokens=[7, 1],
+                                                  max_tokens=4,
+                                                  temperature=0.0))
+        eng.run_until_done([r1, r2])
+        solo1 = cached_generate(params, CFG, [[5, 17, 3]], 8, temperature=0.0)
+        solo2 = cached_generate(params, CFG, [[7, 1]], 4, temperature=0.0)
+        np.testing.assert_array_equal(eng.get_result(r1).tokens,
+                                      solo1.tokens[0])
+        np.testing.assert_array_equal(eng.get_result(r2).tokens,
+                                      solo2.tokens[0])
+
+    def test_more_requests_than_slots(self, params):
+        """Queueing past pool capacity: all finish, slots are reused."""
+        eng = engine(params, num_slots=2)
+        rids = [eng.submit_request(GenerationRequest(
+            prompt_tokens=[i + 1, i + 2], max_tokens=3, temperature=0.0))
+            for i in range(5)]
+        eng.run_until_done(rids)
+        for rid in rids:
+            res = eng.get_result(rid)
+            assert res is not None and len(res.tokens) == 3
+
+    def test_single_decode_dispatch_per_step(self, params):
+        """All running requests decode in ONE fixed-shape dispatch."""
+        eng = engine(params)
+        for i in range(3):
+            eng.submit_request(GenerationRequest(prompt_tokens=[i + 1],
+                                                 max_tokens=4,
+                                                 temperature=0.0))
+        eng.step()  # prefills
+        emitted = eng.step()  # one decode covering all three
+        assert len(emitted) == 3
+
+
+class TestStreamingAndAbort:
+    def test_stream_yields_all_tokens(self, params):
+        eng = engine(params)
+        toks = list(eng.generate_stream(GenerationRequest(
+            prompt_tokens=[5, 17], max_tokens=5, temperature=0.0)))
+        assert len(toks) == 5
+        solo = cached_generate(params, CFG, [[5, 17]], 5, temperature=0.0)
+        np.testing.assert_array_equal(toks, solo.tokens[0])
+
+    def test_abort_waiting_request(self, params):
+        eng = engine(params)
+        # fill all slots so the next request waits
+        for i in range(4):
+            eng.submit_request(GenerationRequest(prompt_tokens=[i + 1],
+                                                 max_tokens=20,
+                                                 temperature=0.0))
+        eng.step()
+        victim = eng.submit_request(GenerationRequest(prompt_tokens=[9],
+                                                      max_tokens=4))
+        assert eng.abort_request(victim)
+        res = eng.get_result(victim)
+        assert res is not None and res.finish_reason == "aborted"
+
+    def test_abort_running_request(self, params):
+        eng = engine(params)
+        rid = eng.submit_request(GenerationRequest(prompt_tokens=[3, 4],
+                                                   max_tokens=50,
+                                                   temperature=0.0))
+        eng.step()
+        assert eng.abort_request(rid)
+        eng.run_until_done([rid])
+        assert eng.get_result(rid).finish_reason == "aborted"
+
+
+class TestStats:
+    def test_stats_accumulate(self, params):
+        eng = engine(params)
+        eng.generate(GenerationRequest(prompt_tokens=[1, 2], max_tokens=3,
+                                       temperature=0.0))
+        s = eng.stats()
+        assert s["total_requests"] == 1
+        assert s["total_tokens"] == 3
+        assert s["scheduler"]["finished"] == 1
+        assert s["prefill_compile"]["compiled_shapes"] >= 1

@@ -1,0 +1,118 @@
+"""Parallel-layer tests on the virtual 8-device CPU mesh — the multi-device
+coverage the reference never has (SURVEY.md §4: TP tested only at world_size=1,
+communication only simulated)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from physics_llm_inference_tpu.models import (
+    ModelConfig, init_params, forward,
+)
+from physics_llm_inference_tpu.parallel import (
+    make_mesh, local_mesh_shape, tp_param_specs, tp_mlp_shardmap,
+    compute_tp_memory_savings,
+)
+from physics_llm_inference_tpu.ops import swiglu
+
+CFG = ModelConfig(vocab_size=128, hidden_dim=64, num_layers=2, num_heads=4,
+                  num_kv_heads=2, intermediate_dim=128, max_seq_len=64,
+                  dtype="float32")
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        m = make_mesh(data=2, model=4)
+        assert local_mesh_shape(m) == {"data": 2, "model": 4}
+        m3 = make_mesh(data=2, expert=2, model=2)
+        assert local_mesh_shape(m3) == {"data": 2, "expert": 2, "model": 2}
+
+    def test_too_many_devices_raises(self):
+        with pytest.raises(ValueError):
+            make_mesh(data=4, model=4)
+
+
+class TestGSPMDTensorParallel:
+    def test_sharded_forward_matches_single_device(self):
+        """TP+DP sharded model must produce identical logits — XLA inserts
+        the collectives, we check the math survives them."""
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        ids = (jnp.arange(16).reshape(2, 8) * 5) % 128
+        ref, _ = forward(params, ids, CFG)
+
+        mesh = make_mesh(data=2, model=4)
+        specs = tp_param_specs()
+        sharded = jax.tree_util.tree_map_with_path(
+            lambda path, x: jax.device_put(
+                x, NamedSharding(mesh, specs(path, x))), params)
+        ids_s = jax.device_put(ids, NamedSharding(mesh, P("data", None)))
+
+        @jax.jit
+        def f(p, i):
+            return forward(p, i, CFG)[0]
+
+        with mesh:
+            out = f(sharded, ids_s)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4)
+
+    def test_weight_shards_are_actually_distributed(self):
+        mesh = make_mesh(data=1, model=8)
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        specs = tp_param_specs()
+        wq = jax.device_put(params["blocks"]["wq"],
+                            NamedSharding(mesh, specs(
+                                (jax.tree_util.DictKey("blocks"),
+                                 jax.tree_util.DictKey("wq")),
+                                params["blocks"]["wq"])))
+        # each device holds out_dim/8 of the columns
+        shard = wq.addressable_shards[0]
+        assert shard.data.shape[-1] == wq.shape[-1] // 8
+
+
+class TestShardMapTP:
+    def test_tp_mlp_matches_dense_swiglu(self):
+        """Explicit Megatron MLP (column, column, row+psum) ≡ single-device
+        swiglu — the executable version of ref ch09/tensor_parallel.py:71-100."""
+        mesh = make_mesh(data=1, model=8)
+        d, f = 32, 64
+        k = jax.random.split(jax.random.PRNGKey(1), 4)
+        x = jax.random.normal(k[0], (4, d))
+        wg = jax.random.normal(k[1], (d, f)) * 0.1
+        wu = jax.random.normal(k[2], (d, f)) * 0.1
+        wd = jax.random.normal(k[3], (f, d)) * 0.1
+        out = tp_mlp_shardmap(mesh, x, wg, wu, wd)
+        ref = swiglu(x, wg, wu, wd)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+class TestAccounting:
+    def test_tp_memory_savings(self):
+        # ref ch09/test_ch09.py:196-205
+        out = compute_tp_memory_savings(7_000_000_000, 8, 2)
+        assert out["params_per_device"] == 7_000_000_000 / 8
+        assert out["reduction_factor"] == 8
+
+
+def test_graft_entry_single_chip():
+    """Driver contract: entry() returns a jittable fn + args."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape[0] == args[1].shape[0]
+
+
+def test_graft_entry_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
