@@ -1,0 +1,154 @@
+"""Flash attention Pallas kernel (causal, GQA, offset-aware).
+
+Lowers the reference's pure-Python tiled loop (ch06/flash_attention.py:14-74,
+online-softmax math ch06/online_softmax.py:28-53) into a single TPU kernel,
+adding what the reference lacks (SURVEY.md §2.6): causal masking, GQA head
+sharing (Hq queries read Hkv cached heads without expansion), and a query
+offset so the same kernel serves full prefill, chunked prefill, and cached
+decode over a longer KV.
+
+Structure: grid (B, Hq, Sq/bq, Sk/bk); the KV-block dimension is innermost
+and sequential — per-row max m, normalizer l, and output accumulator acc live
+in VMEM scratch across KV steps (the reference's inner loop :49-68), with the
+rescale-on-new-max recurrence; finalize divides by l on the last KV block.
+Fully-masked KV blocks (beyond the causal diagonal) are skipped by predication.
+Softmax statistics are fp32; QK^T and PV ride the MXU with fp32 accumulate.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dataclasses import dataclass
+
+_NEG_INF = -1e30
+
+
+@dataclass(frozen=True)
+class FlashConfig:
+    """Tile sizes (ref FlashAttentionConfig ch06/flash_attention.py:6-11,
+    128-aligned for the MXU instead of 64)."""
+
+    block_q: int = 128
+    block_k: int = 128
+
+
+def _flash_kernel(qoff_ref, q_ref, k_ref, v_ref, o_ref,
+                  m_scr, l_scr, acc_scr, *, block_q, block_k, scale, causal,
+                  kv_len):
+    i = pl.program_id(2)       # q block
+    kk = pl.program_id(3)      # kv block (sequential)
+
+    @pl.when(kk == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q_start = qoff_ref[0] + i * block_q
+    k_start = kk * block_k
+    # causal skip: block is live iff its first kv position <= last q position
+    live = (k_start <= q_start + block_q - 1) if causal else True
+
+    @pl.when(live)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32)          # (bq, D)
+        k = k_ref[0, 0].astype(jnp.float32)          # (bk, D)
+        v = v_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (bq, bk)
+        qpos = q_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        kpos = k_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        mask = kpos < kv_len
+        if causal:
+            mask = mask & (kpos <= qpos)
+        s = jnp.where(mask, s, _NEG_INF)
+
+        m_prev = m_scr[:, :1]                        # (bq, 1)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)                       # (bq, bk)
+        l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
+            p, v, preferred_element_type=jnp.float32)
+        m_scr[:, :1] = m_new
+        l_scr[:, :1] = l_new
+
+    @pl.when(kk == pl.num_programs(3) - 1)
+    def _():
+        l = l_scr[:, :1]
+        safe_l = jnp.where(l > 0, l, 1.0)  # fully-masked rows → 0 output
+        o_ref[0, 0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "config", "interpret",
+                                             "kv_len"))
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    q_offset: jnp.ndarray | int = 0,
+                    causal: bool = True,
+                    kv_len: int | None = None,
+                    config: FlashConfig = FlashConfig(),
+                    interpret: bool | None = None) -> jnp.ndarray:
+    """Flash attention over (B, Hq, Sq, D) queries and (B, Hkv, Sk, D) KV.
+
+    q_offset: global position of q[:, :, 0] relative to the KV sequence
+    (rectangular causal attention for chunked prefill / decode, ref
+    ch02/kv_cache.py:91-94 semantics). kv_len: valid KV prefix (<= Sk) when
+    the cache is padded. Returns (B, Hq, Sq, D) in q.dtype.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, hq, sq, d = q.shape
+    _, hkv, sk, _ = k.shape
+    assert hq % hkv == 0
+    group = hq // hkv
+    bq = min(config.block_q, sq)
+    bk = min(config.block_k, sk)
+    assert sq % bq == 0 and sk % bk == 0, (
+        f"seq lens ({sq},{sk}) not divisible by blocks ({bq},{bk})")
+    scale = 1.0 / math.sqrt(d)
+    kv_len = sk if kv_len is None else kv_len
+    qoff = jnp.asarray([q_offset], dtype=jnp.int32)
+
+    kernel = functools.partial(_flash_kernel, block_q=bq, block_k=bk,
+                               scale=scale, causal=causal, kv_len=kv_len)
+    grid = (b, hq, sq // bq, sk // bk)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, d),
+                             lambda bb, h, i, kk, qoff: (bb, h, i, 0)),
+                pl.BlockSpec((1, 1, bk, d),
+                             lambda bb, h, i, kk, qoff, g=group:
+                             (bb, h // g, kk, 0)),
+                pl.BlockSpec((1, 1, bk, d),
+                             lambda bb, h, i, kk, qoff, g=group:
+                             (bb, h // g, kk, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, bq, d),
+                                   lambda bb, h, i, kk, qoff: (bb, h, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * sq * sk * d,
+            bytes_accessed=q.nbytes + k.nbytes + v.nbytes + q.nbytes,
+            transcendentals=b * hq * sq * sk),
+        interpret=interpret,
+    )(qoff, q, k, v)

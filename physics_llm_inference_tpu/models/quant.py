@@ -1,0 +1,83 @@
+"""INT8 weight-only model quantization.
+
+Converts a dense parameter pytree (models/transformer.py layout) into one
+where every matmul weight is a QuantizedTensor (int8 values + per-output-
+channel f32 scales). The forward pass is unchanged — transformer._linear
+dispatches on the leaf type, using the Pallas int8 matmul kernel on TPU when
+shapes are MXU-tileable and a fused dequant matmul otherwise.
+
+This is the framework's native format (BASELINE north star: INT8 W+KV at
+<=0.1 perplexity vs fp32). Norms, embeddings and biases stay high-precision;
+per-channel scales are what holds the accuracy budget.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..kernels.quant import quantize_int8
+
+
+class QuantizedTensor(NamedTuple):
+    """int8 values + broadcastable f32 scale. A pytree — scans/shards like a
+    plain array; sliced along a leading layer axis inside lax.scan."""
+
+    q: jnp.ndarray   # int8, same shape as original weight
+    s: jnp.ndarray   # f32, shape broadcastable (reduction axes = 1)
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    def dequantize(self, dtype=jnp.bfloat16) -> jnp.ndarray:
+        return (self.q.astype(jnp.float32) * self.s).astype(dtype)
+
+
+_QUANT_LEAVES = ("wq", "wk", "wv", "wo", "w_gate_up", "w_down")
+
+
+def _quantize_stacked(w: jnp.ndarray) -> QuantizedTensor:
+    """Stacked weight (L, K, N): per-(layer, output-channel) scales (L, 1, N)."""
+    q, s = quantize_int8(w, axis=-2)
+    return QuantizedTensor(q, s)
+
+
+def quantize_params_int8(params: dict, quantize_lm_head: bool = True) -> dict:
+    """Quantize all block matmul weights (+ optionally lm_head).
+
+    Embeddings and norms stay in the original dtype: embeds are a gather (no
+    bandwidth win at decode batch sizes) and norm scales are tiny.
+    """
+    out = {
+        "embed": params["embed"],
+        "norm": params["norm"],
+        "blocks": {},
+    }
+    for name, w in params["blocks"].items():
+        if name in _QUANT_LEAVES:
+            out["blocks"][name] = _quantize_stacked(w)
+        else:
+            out["blocks"][name] = w
+    if quantize_lm_head:
+        q, s = quantize_int8(params["lm_head"], axis=0)
+        out["lm_head"] = QuantizedTensor(q, s)
+    else:
+        out["lm_head"] = params["lm_head"]
+    return out
+
+
+def quantized_param_bytes(params: dict) -> dict:
+    """Memory accounting: bytes by precision class (the decode-bandwidth
+    denominator for the roofline model)."""
+    int8 = 0
+    other = 0
+    for leaf in jax.tree_util.tree_leaves(
+            params, is_leaf=lambda x: isinstance(x, QuantizedTensor)):
+        if isinstance(leaf, QuantizedTensor):
+            int8 += leaf.q.nbytes + leaf.s.nbytes
+        else:
+            other += leaf.nbytes
+    return {"int8_bytes": int8, "other_bytes": other,
+            "total_bytes": int8 + other}

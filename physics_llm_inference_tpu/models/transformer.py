@@ -25,19 +25,94 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.ffn import fused_swiglu
 from ..ops.gqa import grouped_sdpa
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, rope_frequencies
 from .config import ModelConfig
 
 
+def _pick_block(dim: int, candidates=(512, 256, 128, 8)) -> int | None:
+    for c in candidates:
+        if dim % c == 0:
+            return c
+    return dim if dim <= 8 else None
+
+
+def _linear(x: jnp.ndarray, w) -> jnp.ndarray:
+    """Matmul dispatch: plain array → x @ w; QuantizedTensor → INT8 path
+    (Pallas int8_matmul kernel on TPU when dims tile onto the MXU, fused
+    dequant matmul otherwise). x: (..., K); returns (..., N)."""
+    from .quant import QuantizedTensor
+
+    if not isinstance(w, QuantizedTensor):
+        return x @ w
+    k, n = w.q.shape
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    scale = w.s.reshape(1, n)
+    use_kernel = (jax.default_backend() == "tpu"
+                  and m % (_pick_block(m, (256, 8)) or m + 1) == 0
+                  and _pick_block(k) is not None
+                  and _pick_block(n, (256, 128)) is not None)
+    if use_kernel:
+        from ..kernels.int8_matmul import int8_matmul
+
+        out = int8_matmul(x2, w.q, scale,
+                          block_m=_pick_block(m, (256, 8)),
+                          block_n=_pick_block(n, (256, 128)),
+                          block_k=_pick_block(k),
+                          out_dtype=x.dtype)
+    else:
+        acc = jnp.dot(x2, w.q.astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+        out = (acc * scale).astype(x.dtype)
+    return out.reshape(*x.shape[:-1], n)
+
+
+class QuantKV(NamedTuple):
+    """INT8 KV storage: int8 values + per-token-per-head f32 scales.
+
+    The framework's native KV format (BASELINE north star): halves decode
+    HBM traffic for the cache. Per-(token, head) absmax scales keep the
+    attention error inside the 0.1-ppl budget.
+    """
+
+    q: jnp.ndarray  # int8  (..., S, Hkv, hd)
+    s: jnp.ndarray  # f32   (..., S, Hkv, 1)
+
+
 class KVSlice(NamedTuple):
     """Per-call KV threading: stacked caches + the write offset."""
 
-    k: jnp.ndarray  # (L, B, max_S, Hkv, hd)
-    v: jnp.ndarray
-    start: jnp.ndarray  # scalar int32: first position of this call's tokens
+    k: jnp.ndarray | QuantKV  # (L, B, max_S, Hkv, hd)
+    v: jnp.ndarray | QuantKV
+    start: jnp.ndarray  # int32 scalar or (B,): first slot of this call's tokens
+
+
+def _cache_write(cache, new: jnp.ndarray, start: jnp.ndarray):
+    """Write `new` (B, s, H, hd) into the cache at slot offset(s) `start`
+    (scalar, or (B,) for per-request offsets). Handles dense and QuantKV."""
+    def write(buf, val):
+        val = val.astype(buf.dtype)
+        if start.ndim == 0:
+            return lax.dynamic_update_slice(buf, val, (0, start, 0, 0))
+        return jax.vmap(lambda c, n, off: lax.dynamic_update_slice(
+            c, n, (off, 0, 0)))(buf, val, start)
+
+    if isinstance(cache, QuantKV):
+        from ..kernels.quant import quantize_int8
+
+        qv, sv = quantize_int8(new, axis=-1)
+        return QuantKV(q=write(cache.q, qv), s=write(cache.s, sv))
+    return write(cache, new)
+
+
+def _cache_read(cache, dtype) -> jnp.ndarray:
+    """Materialize the cache for attention in the compute dtype (dequantizes
+    QuantKV; XLA fuses the dequant into the attention matmuls)."""
+    if isinstance(cache, QuantKV):
+        return (cache.q.astype(jnp.float32) * cache.s).astype(dtype)
+    return cache.astype(dtype)
 
 
 def init_params(rng: jax.Array, cfg: ModelConfig) -> dict:
@@ -114,9 +189,9 @@ def block_forward(
     hq, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     h = rms_norm(x, bp["ln1"], cfg.norm_eps)
-    q = (h @ bp["wq"]).reshape(b, s, hq, hd)
-    k = (h @ bp["wk"]).reshape(b, s, hkv, hd)
-    v = (h @ bp["wv"]).reshape(b, s, hkv, hd)
+    q = _linear(h, bp["wq"]).reshape(b, s, hq, hd)
+    k = _linear(h, bp["wk"]).reshape(b, s, hkv, hd)
+    v = _linear(h, bp["wv"]).reshape(b, s, hkv, hd)
     if rope_cos is not None:
         q = apply_rope(q, rope_cos, rope_sin, positions)
         k = apply_rope(k, rope_cos, rope_sin, positions)
@@ -132,29 +207,22 @@ def block_forward(
     else:
         k_cache, v_cache = kv
         start = jnp.asarray(start)
-        if start.ndim == 0:
-            k_cache = lax.dynamic_update_slice(
-                k_cache, k.astype(k_cache.dtype), (0, start, 0, 0))
-            v_cache = lax.dynamic_update_slice(
-                v_cache, v.astype(v_cache.dtype), (0, start, 0, 0))
-        else:
-            # Per-request write offsets (continuous batching: each slot is at
-            # a different length). vmap over batch.
-            upd = jax.vmap(lambda c, new, off: lax.dynamic_update_slice(
-                c, new, (off, 0, 0)))
-            k_cache = upd(k_cache, k.astype(k_cache.dtype), start)
-            v_cache = upd(v_cache, v.astype(v_cache.dtype), start)
-        kq = k_cache.transpose(0, 2, 1, 3).astype(q.dtype)
-        vq = v_cache.transpose(0, 2, 1, 3).astype(q.dtype)
-        k_slots = jnp.arange(k_cache.shape[1])
+        k_cache = _cache_write(k_cache, k, start)
+        v_cache = _cache_write(v_cache, v, start)
+        kq = _cache_read(k_cache, q.dtype).transpose(0, 2, 1, 3)
+        vq = _cache_read(v_cache, q.dtype).transpose(0, 2, 1, 3)
+        k_slots = jnp.arange(kq.shape[2])
         new_kv = (k_cache, v_cache)
 
     attn = _attend(q.transpose(0, 2, 1, 3), kq, vq, slots, k_slots, valid_from)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, hq * hd)
-    x = x + attn @ bp["wo"]
+    x = x + _linear(attn, bp["wo"])
 
+    # fused SwiGLU (ops/ffn.py math, routed through _linear for INT8 weights)
     h = rms_norm(x, bp["ln2"], cfg.norm_eps)
-    x = x + fused_swiglu(h, bp["w_gate_up"], bp["w_down"])
+    gu = _linear(h, bp["w_gate_up"])
+    gate, up = jnp.split(gu, 2, axis=-1)
+    x = x + _linear(jax.nn.silu(gate) * up, bp["w_down"])
     return x, new_kv
 
 
@@ -218,7 +286,7 @@ def forward(
     if last_only:
         x = x[:, -1:, :]
     x = rms_norm(x, params["norm"], cfg.norm_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    logits = _linear(x, params["lm_head"]).astype(jnp.float32)
     return logits, new_kv
 
 

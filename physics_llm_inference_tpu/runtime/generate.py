@@ -91,7 +91,8 @@ def _decode_scan(params, cfg: ModelConfig, kv: KVSlice, first_token, lens,
                  top_p, stop_array, pad_id: int):
     """lax.scan over decode steps; emits (B, num_steps) tokens incl. the first."""
     b = first_token.shape[0]
-    p = kv.k.shape[2] - num_steps  # prompt bucket
+    k_arr = kv.k.q if hasattr(kv.k, "q") else kv.k
+    p = k_arr.shape[2] - num_steps  # prompt bucket
 
     def is_stop(tok):
         if stop_array is None:

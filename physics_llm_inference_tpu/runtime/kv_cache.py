@@ -17,22 +17,32 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..models.config import ModelConfig
-from ..models.transformer import KVSlice
+from ..models.transformer import KVSlice, QuantKV
 
 
 class KVCache(NamedTuple):
-    """Stacked per-layer K/V + fill length. A pytree — jit-transparent."""
+    """Stacked per-layer K/V + fill length. A pytree — jit-transparent.
 
-    k: jnp.ndarray  # (L, B, max_S, Hkv, hd)
-    v: jnp.ndarray
+    dtype="int8" builds the framework-native QuantKV format (int8 values +
+    per-token-per-head scales); the model's cache read/write path dispatches
+    on the type (models/transformer.py _cache_write/_cache_read).
+    """
+
+    k: jnp.ndarray | QuantKV  # (L, B, max_S, Hkv, hd)
+    v: jnp.ndarray | QuantKV
     length: jnp.ndarray  # scalar int32: slots filled so far
 
     @classmethod
     def create(cls, cfg: ModelConfig, batch_size: int, max_seq_len: int,
                dtype=None) -> "KVCache":
-        dtype = dtype or jnp.dtype(cfg.dtype)
         shape = (cfg.num_layers, batch_size, max_seq_len, cfg.num_kv_heads,
                  cfg.head_dim)
+        if dtype is not None and jnp.dtype(dtype) == jnp.int8:
+            sshape = shape[:-1] + (1,)
+            mk = lambda: QuantKV(q=jnp.zeros(shape, jnp.int8),
+                                 s=jnp.zeros(sshape, jnp.float32))
+            return cls(k=mk(), v=mk(), length=jnp.int32(0))
+        dtype = dtype or jnp.dtype(cfg.dtype)
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
                    length=jnp.int32(0))
 
@@ -45,11 +55,15 @@ class KVCache(NamedTuple):
 
     @property
     def max_seq_len(self) -> int:
-        return self.k.shape[2]
+        k = self.k.q if isinstance(self.k, QuantKV) else self.k
+        return k.shape[2]
 
     def memory_bytes(self) -> int:
-        """Total bytes of both caches (ref ch02/kv_cache.py:49-51)."""
-        return self.k.nbytes + self.v.nbytes
+        """Total bytes of both caches incl. quant scales
+        (ref ch02/kv_cache.py:49-51)."""
+        import jax
+
+        return sum(x.nbytes for x in jax.tree_util.tree_leaves((self.k, self.v)))
 
 
 def calculate_kv_cache_size(

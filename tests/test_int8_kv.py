@@ -1,0 +1,65 @@
+"""INT8 KV cache tests: quantized-cache generation stays close to the fp32
+cache (BASELINE configs 2: GQA + INT8 KV decode path)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from physics_llm_inference_tpu.models import ModelConfig, init_params, forward
+from physics_llm_inference_tpu.models.transformer import KVSlice, QuantKV
+from physics_llm_inference_tpu.runtime import KVCache, cached_generate
+
+CFG = ModelConfig(vocab_size=100, hidden_dim=64, num_layers=2, num_heads=4,
+                  num_kv_heads=2, intermediate_dim=128, max_seq_len=128,
+                  dtype="float32")
+
+
+def test_int8_cache_memory_half_plus_scales():
+    fp = KVCache.create(CFG, 1, 64, dtype=jnp.float32)
+    q8 = KVCache.create(CFG, 1, 64, dtype=jnp.int8)
+    assert isinstance(q8.k, QuantKV)
+    # int8 values are 1/4 the fp32 bytes; scales add 1/head_dim overhead
+    assert q8.memory_bytes() < fp.memory_bytes() / 3
+
+
+def test_int8_cached_forward_close_to_fp32():
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    ids = (jnp.arange(16).reshape(2, 8) * 3) % 100
+    ref, _ = forward(params, ids, CFG)
+
+    cache = KVCache.create(CFG, 2, 16, dtype=jnp.int8)
+    out, kv = forward(params, ids, CFG, kv=cache.as_slice())
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.02
+    agree = float(jnp.mean(jnp.argmax(out, -1) == jnp.argmax(ref, -1)))
+    assert agree >= 0.9
+    assert isinstance(kv.k, QuantKV)
+
+
+def test_int8_kv_generation_matches_fp32_greedy_mostly():
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    prompt = [[5, 17, 3, 42, 8, 11, 2, 9]]
+    fp = cached_generate(params, CFG, prompt, 12, temperature=0.0)
+    q8 = cached_generate(params, CFG, prompt, 12, temperature=0.0,
+                         kv_dtype=jnp.int8)
+    # random-init toy logits are nearly flat → a few argmax flips are expected;
+    # the sequences must still largely agree
+    agree = float(np.mean(fp.tokens == q8.tokens))
+    assert agree >= 0.5
+    assert q8.tokens.shape == (1, 12)
+
+
+def test_int8_kv_decode_steps_consistent():
+    """Token-by-token int8-KV decode ≡ int8-KV prefill (internal consistency)."""
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    ids = (jnp.arange(6)[None, :] * 3 + 1) % 100
+    cache = KVCache.create(CFG, 1, 8, dtype=jnp.int8)
+    full, _ = forward(params, ids, CFG, kv=cache.as_slice())
+
+    cache2 = KVCache.create(CFG, 1, 8, dtype=jnp.int8)
+    kv = cache2.as_slice()
+    outs = []
+    for t in range(6):
+        logits, kv = forward(params, ids[:, t:t + 1], CFG, kv=kv)
+        outs.append(logits[:, 0])
+    step = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(full, step, atol=1e-3)

@@ -1,0 +1,196 @@
+"""Serving layer tests — ref ch10/test_ch10.py semantics (API schema
+round-trips, SSE framing, tokenizer pool balance, benchmark harness with
+mock generate) plus real HTTP server tests the reference can't have (it has
+no server)."""
+import json
+import threading
+import urllib.request
+
+import jax
+import pytest
+
+from physics_llm_inference_tpu.bench import (
+    BenchmarkConfig, run_benchmark, percentile,
+)
+from physics_llm_inference_tpu.serve import (
+    ChatCompletionRequest, ChatCompletionResponse, ChatCompletionChunk,
+    TokenizerPool,
+)
+
+
+class TestApiTypes:
+    def test_request_from_dict(self):
+        # ref ch10/api_types.py:48-63
+        req = ChatCompletionRequest.from_dict({
+            "model": "m", "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 5, "temperature": 0.2, "stream": True,
+            "stop": "END"})
+        assert req.messages[0].content == "hi"
+        assert req.stop == ["END"] and req.stream
+        assert "user: hi" in req.prompt_text()
+
+    def test_response_usage_accounting(self):
+        # ref :89-115
+        resp = ChatCompletionResponse.create("m", "out", "stop", 10, 5)
+        d = resp.to_dict()
+        assert d["usage"]["total_tokens"] == 15
+        assert d["choices"][0]["message"]["content"] == "out"
+        assert d["id"].startswith("chatcmpl-")
+
+    def test_chunk_sse_framing(self):
+        # ref :158-177
+        sse = ChatCompletionChunk(id="x", model="m", delta="tok").to_sse()
+        assert sse.startswith("data: ") and sse.endswith("\n\n")
+        payload = json.loads(sse[len("data: "):])
+        assert payload["choices"][0]["delta"]["content"] == "tok"
+
+
+class TestTokenizerPool:
+    def test_round_robin_balance(self):
+        # ref ch10/tokenizer_pool.py:90-99
+        pool = TokenizerPool(num_workers=3)
+        for _ in range(9):
+            pool.tokenize("abc")
+        s = pool.stats()
+        assert s["requests_per_worker"] == [3, 3, 3]
+        assert s["balance"] == 1.0
+
+    def test_dummy_tokenizer_roundtrip(self):
+        pool = TokenizerPool(num_workers=1)
+        ids = pool.tokenize("hi")
+        assert ids == [ord("h"), ord("i")]
+        assert pool.detokenize(ids) == "hi"
+
+    def test_batch_parallel(self):
+        pool = TokenizerPool(num_workers=2)
+        outs = pool.tokenize_batch(["a", "bb", "ccc"])
+        assert [len(o) for o in outs] == [1, 2, 3]
+
+    def test_async_callback(self):
+        pool = TokenizerPool(num_workers=1)
+        done = threading.Event()
+        result = []
+        pool.tokenize_async("xy", lambda ids: (result.append(ids), done.set()))
+        assert done.wait(2)
+        assert result[0] == [ord("x"), ord("y")]
+
+
+class TestBenchHarness:
+    def test_percentiles(self):
+        vals = [float(i) for i in range(1, 101)]
+        assert percentile(vals, 50) == pytest.approx(50, abs=1)
+        assert percentile(vals, 99) == pytest.approx(99, abs=1)
+        assert percentile([], 50) == 0.0
+
+    def test_run_with_mock_generate(self):
+        # ref ch10/test_ch10.py:262-269 mock_generate idiom
+        def mock_generate(prompt, max_tokens):
+            return {"tokens": list(range(max_tokens)), "ttft_s": 0.001}
+
+        res = run_benchmark(BenchmarkConfig(num_requests=10, max_tokens=4),
+                            mock_generate)
+        d = res.to_dict()
+        assert d["num_requests"] == 10
+        assert res.total_tokens == 40
+        assert d["ttft"]["p50_ms"] == pytest.approx(1.0, rel=0.5)
+        assert "P99" in res.summary()
+
+    def test_concurrent_load(self):
+        def gen(prompt, n):
+            return {"tokens": [1] * n}
+
+        res = run_benchmark(BenchmarkConfig(num_requests=8, concurrency=4),
+                            gen)
+        assert res.num_requests == 8
+
+
+@pytest.fixture(scope="module")
+def server():
+    from physics_llm_inference_tpu.models import ModelConfig, init_params
+    from physics_llm_inference_tpu.serve import InferenceEngine, EngineConfig
+    from physics_llm_inference_tpu.serve.http_server import InferenceServer
+
+    cfg = ModelConfig(vocab_size=256, hidden_dim=64, num_layers=2,
+                      num_heads=4, num_kv_heads=2, intermediate_dim=128,
+                      max_seq_len=128, dtype="float32")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    eng = InferenceEngine(params, cfg, EngineConfig(
+        num_slots=4, max_seq_len=96, prompt_buckets=(16, 32, 64)))
+    srv = InferenceServer(eng, port=0).start_background()
+    yield srv
+    srv.shutdown()
+
+
+def _post(server, path, body):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    return urllib.request.urlopen(req, timeout=60)
+
+
+class TestHTTPServer:
+    def test_health_and_models(self, server):
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}/health", timeout=10) as r:
+            assert json.load(r)["status"] == "ok"
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}/v1/models", timeout=10) as r:
+            assert json.load(r)["data"][0]["id"] == "default"
+
+    def test_chat_completion(self, server):
+        with _post(server, "/v1/chat/completions", {
+                "messages": [{"role": "user", "content": "hello"}],
+                "max_tokens": 5, "temperature": 0.0}) as r:
+            d = json.load(r)
+        assert d["object"] == "chat.completion"
+        assert d["usage"]["completion_tokens"] == 5
+        assert isinstance(d["choices"][0]["message"]["content"], str)
+
+    def test_streaming_sse(self, server):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/v1/chat/completions",
+            data=json.dumps({
+                "messages": [{"role": "user", "content": "hi"}],
+                "max_tokens": 4, "temperature": 0.0, "stream": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            body = r.read().decode()
+        events = [e for e in body.split("\n\n") if e.startswith("data: ")]
+        assert events[-1] == "data: [DONE]"
+        deltas = [json.loads(e[6:]) for e in events[:-1]]
+        contents = [d["choices"][0]["delta"].get("content", "")
+                    for d in deltas]
+        assert sum(1 for c in contents if c) == 4
+        assert deltas[-1]["choices"][0]["finish_reason"] is not None
+
+    def test_metrics_endpoint(self, server):
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}/metrics", timeout=10) as r:
+            m = json.load(r)
+        assert "total_requests" in m and "scheduler" in m
+
+    def test_bad_json_400(self, server):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/v1/chat/completions",
+            data=b"{not json", headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=10)
+        assert e.value.code == 400
+
+    def test_missing_messages_400(self, server):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server, "/v1/chat/completions", {"max_tokens": 4})
+        assert e.value.code == 400
+
+    def test_unknown_route_404(self, server):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server, "/v1/nope", {})
+        assert e.value.code == 404
+
+    def test_oversized_prompt_400(self, server):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server, "/v1/chat/completions", {
+                "messages": [{"role": "user", "content": "x" * 200}],
+                "max_tokens": 50})
+        assert e.value.code == 400
