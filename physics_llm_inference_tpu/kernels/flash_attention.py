@@ -122,6 +122,17 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kernel = functools.partial(_flash_kernel, block_q=bq, block_k=bk,
                                scale=scale, causal=causal, kv_len=kv_len)
     grid = (b, hq, sq // bq, sk // bk)
+
+    def kv_index(bb, h, i, kk, qoff, g=group):
+        if causal:
+            # Clamp causally-dead KV blocks to the last live one: consecutive
+            # equal block indices make the Pallas pipeline skip the DMA, so
+            # blocks above the diagonal cost neither bandwidth nor compute
+            # (the kernel body also predicates them off).
+            last_live = jax.lax.div(qoff[0] + (i + 1) * bq - 1, bk)
+            kk = jnp.minimum(kk, last_live)
+        return (bb, h // g, kk, 0)
+
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -130,12 +141,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             in_specs=[
                 pl.BlockSpec((1, 1, bq, d),
                              lambda bb, h, i, kk, qoff: (bb, h, i, 0)),
-                pl.BlockSpec((1, 1, bk, d),
-                             lambda bb, h, i, kk, qoff, g=group:
-                             (bb, h // g, kk, 0)),
-                pl.BlockSpec((1, 1, bk, d),
-                             lambda bb, h, i, kk, qoff, g=group:
-                             (bb, h // g, kk, 0)),
+                pl.BlockSpec((1, 1, bk, d), kv_index),
+                pl.BlockSpec((1, 1, bk, d), kv_index),
             ],
             out_specs=pl.BlockSpec((1, 1, bq, d),
                                    lambda bb, h, i, kk, qoff: (bb, h, i, 0)),

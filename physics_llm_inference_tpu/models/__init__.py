@@ -16,10 +16,14 @@ from .transformer import (
 from .moe import (
     router, moe_layer, init_moe_params, expert_load_balance_loss,
 )
+from .moe_inference import ExpertCache, MoEInferencePlanner
+from .quant import QuantizedTensor, quantize_params_int8, quantized_param_bytes
 
 __all__ = [
     "ModelConfig", "MoEConfig",
     "TOY_CONFIG", "LLAMA_7B_CONFIG", "QWEN3_CONFIG", "MIXTRAL_MOE_CONFIG",
     "init_params", "forward", "count_parameters", "block_forward",
     "router", "moe_layer", "init_moe_params", "expert_load_balance_loss",
+    "ExpertCache", "MoEInferencePlanner",
+    "QuantizedTensor", "quantize_params_int8", "quantized_param_bytes",
 ]

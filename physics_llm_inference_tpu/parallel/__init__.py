@@ -19,9 +19,10 @@ from .tp import (
     tp_mlp_shardmap,
     compute_tp_memory_savings,
 )
+from .ep import moe_layer_ep
 
 __all__ = [
     "make_mesh", "local_mesh_shape",
     "tp_param_specs", "column_parallel_linear", "row_parallel_linear",
-    "tp_mlp_shardmap", "compute_tp_memory_savings",
+    "tp_mlp_shardmap", "compute_tp_memory_savings", "moe_layer_ep",
 ]

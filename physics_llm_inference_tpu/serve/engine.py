@@ -48,6 +48,10 @@ class EngineConfig:
     max_seq_len: int = 512          # per-slot KV capacity
     max_new_tokens_cap: int = 256
     prompt_buckets: tuple = DEFAULT_PROMPT_BUCKETS
+    # Prompts longer than this prefill in chunks of at most this size
+    # (ref ch08/chunked_prefill.py ChunkConfig.chunk_size; bounds the
+    # latency any one admission can impose on running decodes).
+    max_prefill_chunk: int = 512
     policy: SchedulingPolicy = SchedulingPolicy.FCFS
     kv_dtype: str | None = None     # default: model dtype
 
@@ -126,17 +130,19 @@ class InferenceEngine:
         cfg = self.cfg
 
         @jax.jit
-        def prefill(params, ids, k_slot, v_slot, length, rng, temp, top_p):
-            # ids: (1, P); k_slot/v_slot: (L, 1, S, H, hd); length: tokens valid
-            kvs = KVSlice(k_slot, v_slot, jnp.int32(0))
-            b, p = ids.shape
-            slots = jnp.broadcast_to(jnp.arange(p)[None, :], (b, p))
-            # right-padded prompt: mask queries beyond length via slots trick —
-            # padded queries attend normally but their logits are unused; the
-            # sampled token comes from position length-1.
+        def prefill(params, ids, k_slot, v_slot, start, nvalid, rng, temp,
+                    top_p):
+            # One (possibly chunked) prefill pass: ids (1, C) holds prompt
+            # tokens [start, start+nvalid) right-padded to the bucket;
+            # K/V land at cache slots [start, start+C) (padding slots are
+            # overwritten by the next chunk / decode before ever being
+            # attended — the slot<=q mask guarantees it).
+            kvs = KVSlice(k_slot, v_slot, start)
+            b, c = ids.shape
+            slots = jnp.broadcast_to(jnp.arange(c)[None, :] + start, (b, c))
             logits, kvs = forward(params, ids, cfg, kv=kvs, positions=slots,
                                   slots=slots)
-            last = logits[jnp.arange(b), length - 1]
+            last = logits[jnp.arange(b), nvalid - 1]
             tok = sample_token(last, rng, temperature=temp, top_p=top_p)
             return tok.astype(jnp.int32), kvs.k, kvs.v
 
@@ -215,28 +221,34 @@ class InferenceEngine:
                 self._active[slot] = False
             r.output_tokens.clear()
 
-        # prefill admitted requests, one slot each
+        # prefill admitted requests, one slot each, chunked for long prompts
+        # (ref ch08/chunked_prefill.py — bounds per-iteration prefill latency)
         for r in out.prefill:
             slot = self._slot_pool.tables[r.request_id].block_ids[0]
             self._slot_of[r.request_id] = slot
             r.start_time = r.start_time or time.monotonic()
             p = len(r.prompt_tokens)
-            p_bucket = bucket_for(p, self.config.prompt_buckets)
-            ids = np.zeros((1, p_bucket), dtype=np.int32)
-            ids[0, :p] = r.prompt_tokens
-            fn = self._prefill_cache.get(p_bucket)
-            tok, k_new, v_new = fn(
-                self.params, jnp.asarray(ids),
-                self._k[:, slot:slot + 1], self._v[:, slot:slot + 1],
-                jnp.int32(p), self._split_rng(),
-                jnp.float32(r.sampling.temperature),
-                jnp.float32(r.sampling.top_p))
-            self._k = self._k.at[:, slot:slot + 1].set(k_new)
-            self._v = self._v.at[:, slot:slot + 1].set(v_new)
+            tok = None
+            pos = r.prefill_pos
+            while pos < p:
+                n = min(p - pos, self.config.max_prefill_chunk)
+                c_bucket = bucket_for(n, self.config.prompt_buckets)
+                ids = np.zeros((1, c_bucket), dtype=np.int32)
+                ids[0, :n] = r.prompt_tokens[pos:pos + n]
+                fn = self._prefill_cache.get(c_bucket)
+                tok, k_new, v_new = fn(
+                    self.params, jnp.asarray(ids),
+                    self._k[:, slot:slot + 1], self._v[:, slot:slot + 1],
+                    jnp.int32(pos), jnp.int32(n), self._split_rng(),
+                    jnp.float32(r.sampling.temperature),
+                    jnp.float32(r.sampling.top_p))
+                self._k = self._k.at[:, slot:slot + 1].set(k_new)
+                self._v = self._v.at[:, slot:slot + 1].set(v_new)
+                pos += n
+                r.prefill_pos = pos
             self._lengths[slot] = p
             self._active[slot] = True
-            r.prefill_pos = p
-            tok_i = int(tok[0])
+            tok_i = int(tok[0])  # sampled from the final chunk's last token
             r.first_token_time = time.monotonic()
             r.output_tokens.append(tok_i)
             emitted[r.request_id] = tok_i

@@ -161,3 +161,20 @@ class TestStats:
         assert s["total_tokens"] == 3
         assert s["scheduler"]["finished"] == 1
         assert s["prefill_compile"]["compiled_shapes"] >= 1
+
+
+class TestChunkedPrefill:
+    def test_long_prompt_chunked_matches_whole(self, params):
+        """Prompt prefilled in chunks ≡ single-shot prefill (greedy)."""
+        prompt = [int(x) for x in np.arange(1, 41) % 99 + 1]  # 40 tokens
+        whole = engine(params, max_seq_len=64, prompt_buckets=(8, 16, 32, 64),
+                       max_prefill_chunk=64)
+        chunked = engine(params, max_seq_len=64,
+                         prompt_buckets=(8, 16, 32, 64), max_prefill_chunk=16)
+        a = whole.generate(GenerationRequest(prompt_tokens=prompt,
+                                             max_tokens=5, temperature=0.0))
+        b = chunked.generate(GenerationRequest(prompt_tokens=prompt,
+                                               max_tokens=5, temperature=0.0))
+        np.testing.assert_array_equal(a.tokens, b.tokens)
+        # chunked path compiled the 16-bucket prefill, not the 64 one
+        assert chunked._prefill_cache.stats()["compiled_shapes"] >= 1
