@@ -26,31 +26,37 @@ def log(*a):
 
 
 def main():
-    from physics_llm_inference_tpu.models import ModelConfig, init_params
+    from physics_llm_inference_tpu.models import (ModelConfig, init_params,
+                                                  quantize_params_int8)
     from physics_llm_inference_tpu.runtime import cached_generate
     from physics_llm_inference_tpu.specs import get_tpu_spec
     from physics_llm_inference_tpu.runtime.kv_cache import calculate_kv_cache_size
 
-    # ~1.2B-class GQA model in bf16 (fits tunnel compile times; scaled-up
-    # configs land in later rounds with INT8).
+    # ~1.2B-class GQA model: INT8 weights + INT8 KV (the framework's native
+    # format, BASELINE primary metric), flash prefill, fully on-device decode.
     cfg = ModelConfig(vocab_size=32000, hidden_dim=2048, num_layers=16,
                       num_heads=16, num_kv_heads=4, intermediate_dim=5632,
-                      max_seq_len=2048, dtype="bfloat16")
+                      max_seq_len=2048, dtype="bfloat16",
+                      attention_impl="auto")
     batch, prompt_len, new_tokens = 8, 128, 128
 
     log(f"devices: {jax.devices()}")
-    log(f"model: {cfg.param_count()/1e9:.2f}B params, batch {batch}, "
-        f"prompt {prompt_len}, decode {new_tokens}")
+    log(f"model: {cfg.param_count()/1e9:.2f}B params INT8 W+KV, "
+        f"batch {batch}, prompt {prompt_len}, decode {new_tokens}")
 
-    params = init_params(jax.random.PRNGKey(0), cfg)
+    params = quantize_params_int8(init_params(jax.random.PRNGKey(0), cfg))
     rng = np.random.default_rng(0)
     prompts = [list(rng.integers(1, cfg.vocab_size, prompt_len))
                for _ in range(batch)]
 
+    import jax.numpy as jnp
+
     t0 = time.time()
-    out = cached_generate(params, cfg, prompts, new_tokens, temperature=0.0)
+    out = cached_generate(params, cfg, prompts, new_tokens, temperature=0.0,
+                          kv_dtype=jnp.int8)
     log(f"compile+first run: {time.time()-t0:.1f}s")
-    out = cached_generate(params, cfg, prompts, new_tokens, temperature=0.0)
+    out = cached_generate(params, cfg, prompts, new_tokens, temperature=0.0,
+                          kv_dtype=jnp.int8)
     tok_s = out.decode_tokens_per_s
     log(f"steady: prefill {out.prefill_s*1e3:.1f} ms, "
         f"decode {out.decode_s*1e3:.1f} ms, {tok_s:.1f} tok/s")
@@ -58,10 +64,10 @@ def main():
     # Speed-of-light decode throughput: every weight byte + live KV byte
     # crosses HBM once per step.
     spec = get_tpu_spec()
-    weight_bytes = cfg.param_count() * 2  # bf16
+    weight_bytes = cfg.param_count() * 1  # int8
     kv = calculate_kv_cache_size(batch, prompt_len + new_tokens,
                                  cfg.num_layers, cfg.num_kv_heads,
-                                 cfg.head_dim, 2)
+                                 cfg.head_dim, 1)  # int8 KV
     step_floor_s = (weight_bytes + kv["total_bytes"]) / spec.hbm_bandwidth
     sol_tok_s = batch / step_floor_s
     log(f"roofline floor: {step_floor_s*1e6:.0f} µs/step → {sol_tok_s:.0f} tok/s "

@@ -1,30 +1,32 @@
-"""Flash attention Pallas kernel (causal, GQA, offset-aware).
+"""Flash attention Pallas kernel (causal, GQA, per-request offsets).
 
 Lowers the reference's pure-Python tiled loop (ch06/flash_attention.py:14-74,
 online-softmax math ch06/online_softmax.py:28-53) into a single TPU kernel,
 adding what the reference lacks (SURVEY.md §2.6): causal masking, GQA head
-sharing (Hq queries read Hkv cached heads without expansion), and a query
-offset so the same kernel serves full prefill, chunked prefill, and cached
-decode over a longer KV.
+sharing (Hq queries read Hkv cached heads without expansion), per-request
+query offsets (rectangular attention for chunked prefill and cached decode),
+and per-request valid-from masking (left-padded ragged batches).
 
 Structure: grid (B, Hq, Sq/bq, Sk/bk); the KV-block dimension is innermost
 and sequential — per-row max m, normalizer l, and output accumulator acc live
 in VMEM scratch across KV steps (the reference's inner loop :49-68), with the
 rescale-on-new-max recurrence; finalize divides by l on the last KV block.
-Fully-masked KV blocks (beyond the causal diagonal) are skipped by predication.
-Softmax statistics are fp32; QK^T and PV ride the MXU with fp32 accumulate.
+Causally-dead KV blocks clamp their index map to the last live block —
+consecutive equal indices make the Pallas pipeline skip the DMA — and the
+body predicates them off. Softmax statistics are fp32; QK^T and PV ride the
+MXU with fp32 accumulate. v5e measurement: 512x1024 tiles ~20x faster than
+128x128 (fewer grid steps, more MXU work per DMA).
 """
 from __future__ import annotations
 
 import functools
 import math
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from dataclasses import dataclass
 
 _NEG_INF = -1e30
 
@@ -32,15 +34,16 @@ _NEG_INF = -1e30
 @dataclass(frozen=True)
 class FlashConfig:
     """Tile sizes (ref FlashAttentionConfig ch06/flash_attention.py:6-11,
-    128-aligned for the MXU instead of 64)."""
+    MXU-aligned; sizes clamp down to divisors of the sequence lengths)."""
 
-    block_q: int = 128
-    block_k: int = 128
+    block_q: int = 512
+    block_k: int = 1024
 
 
-def _flash_kernel(qoff_ref, q_ref, k_ref, v_ref, o_ref,
+def _flash_kernel(qoff_ref, vfrom_ref, q_ref, k_ref, v_ref, o_ref,
                   m_scr, l_scr, acc_scr, *, block_q, block_k, scale, causal,
                   kv_len):
+    bb = pl.program_id(0)
     i = pl.program_id(2)       # q block
     kk = pl.program_id(3)      # kv block (sequential)
 
@@ -50,7 +53,7 @@ def _flash_kernel(qoff_ref, q_ref, k_ref, v_ref, o_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q_start = qoff_ref[0] + i * block_q
+    q_start = qoff_ref[bb] + i * block_q
     k_start = kk * block_k
     # causal skip: block is live iff its first kv position <= last q position
     live = (k_start <= q_start + block_q - 1) if causal else True
@@ -67,7 +70,7 @@ def _flash_kernel(qoff_ref, q_ref, k_ref, v_ref, o_ref,
             jnp.int32, (block_q, block_k), 0)
         kpos = k_start + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
-        mask = kpos < kv_len
+        mask = (kpos < kv_len) & (kpos >= vfrom_ref[bb])
         if causal:
             mask = mask & (kpos <= qpos)
         s = jnp.where(mask, s, _NEG_INF)
@@ -96,14 +99,17 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     q_offset: jnp.ndarray | int = 0,
                     causal: bool = True,
                     kv_len: int | None = None,
+                    valid_from: jnp.ndarray | None = None,
                     config: FlashConfig = FlashConfig(),
                     interpret: bool | None = None) -> jnp.ndarray:
     """Flash attention over (B, Hq, Sq, D) queries and (B, Hkv, Sk, D) KV.
 
-    q_offset: global position of q[:, :, 0] relative to the KV sequence
-    (rectangular causal attention for chunked prefill / decode, ref
-    ch02/kv_cache.py:91-94 semantics). kv_len: valid KV prefix (<= Sk) when
-    the cache is padded. Returns (B, Hq, Sq, D) in q.dtype.
+    q_offset: global position of q[:, :, 0] relative to the KV sequence —
+    scalar or per-request (B,) (rectangular causal attention for chunked
+    prefill / decode over per-slot lengths, ref ch02/kv_cache.py:91-94
+    semantics). valid_from: per-request (B,) first valid KV slot (left-pad
+    masking). kv_len: static valid KV prefix (<= Sk) for padded caches.
+    Returns (B, Hq, Sq, D) in q.dtype.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -111,41 +117,47 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     _, hkv, sk, _ = k.shape
     assert hq % hkv == 0
     group = hq // hkv
-    bq = min(config.block_q, sq)
-    bk = min(config.block_k, sk)
-    assert sq % bq == 0 and sk % bk == 0, (
-        f"seq lens ({sq},{sk}) not divisible by blocks ({bq},{bk})")
+
+    def fit(block, seq):
+        # largest divisor of seq <= block: prefer big tiles, never fail on
+        # oddly-bucketed lengths
+        block = min(block, seq)
+        while seq % block:
+            block = max(1, block - (1 if block <= 128 else 128))
+        return block
+
+    bq = fit(config.block_q, sq)
+    bk = fit(config.block_k, sk)
     scale = 1.0 / math.sqrt(d)
     kv_len = sk if kv_len is None else kv_len
-    qoff = jnp.asarray([q_offset], dtype=jnp.int32)
+    qoff = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (b,))
+    vfrom = (jnp.zeros((b,), jnp.int32) if valid_from is None
+             else jnp.asarray(valid_from, jnp.int32))
 
     kernel = functools.partial(_flash_kernel, block_q=bq, block_k=bk,
                                scale=scale, causal=causal, kv_len=kv_len)
     grid = (b, hq, sq // bq, sk // bk)
 
-    def kv_index(bb, h, i, kk, qoff, g=group):
+    def kv_index(bb, h, i, kk, qoff, vfrom, g=group):
         if causal:
-            # Clamp causally-dead KV blocks to the last live one: consecutive
-            # equal block indices make the Pallas pipeline skip the DMA, so
-            # blocks above the diagonal cost neither bandwidth nor compute
-            # (the kernel body also predicates them off).
-            last_live = jax.lax.div(qoff[0] + (i + 1) * bq - 1, bk)
+            last_live = jax.lax.div(qoff[bb] + (i + 1) * bq - 1, bk)
             kk = jnp.minimum(kk, last_live)
         return (bb, h // g, kk, 0)
 
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1, bq, d),
-                             lambda bb, h, i, kk, qoff: (bb, h, i, 0)),
+                             lambda bb, h, i, kk, qoff, vfrom: (bb, h, i, 0)),
                 pl.BlockSpec((1, 1, bk, d), kv_index),
                 pl.BlockSpec((1, 1, bk, d), kv_index),
             ],
             out_specs=pl.BlockSpec((1, 1, bq, d),
-                                   lambda bb, h, i, kk, qoff: (bb, h, i, 0)),
+                                   lambda bb, h, i, kk, qoff, vfrom:
+                                   (bb, h, i, 0)),
             scratch_shapes=[
                 pltpu.VMEM((bq, 128), jnp.float32),
                 pltpu.VMEM((bq, 128), jnp.float32),
@@ -158,4 +170,4 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             bytes_accessed=q.nbytes + k.nbytes + v.nbytes + q.nbytes,
             transcendentals=b * hq * sq * sk),
         interpret=interpret,
-    )(qoff, q, k, v)
+    )(qoff, vfrom, q, k, v)

@@ -27,6 +27,11 @@ class ModelConfig:
     max_seq_len: int = 4096
     # dtypes as strings to keep the config hashable/static under jit.
     dtype: str = "bfloat16"
+    # Attention implementation: "dense" (pure-JAX grouped SDPA; materializes
+    # scores — fine on CPU and short contexts), "flash" (the Pallas kernel;
+    # requires the affine slot layouts all runtime paths use), or "auto"
+    # (flash for prefill-shaped calls on TPU, dense otherwise).
+    attention_impl: str = "auto"
 
     def __post_init__(self):
         assert self.hidden_dim % self.num_heads == 0

@@ -204,6 +204,7 @@ def block_forward(
         vq = v.transpose(0, 2, 1, 3)
         k_slots = jnp.arange(s)
         new_kv = None
+        q_offset = jnp.int32(0)
     else:
         k_cache, v_cache = kv
         start = jnp.asarray(start)
@@ -213,8 +214,26 @@ def block_forward(
         vq = _cache_read(v_cache, q.dtype).transpose(0, 2, 1, 3)
         k_slots = jnp.arange(kq.shape[2])
         new_kv = (k_cache, v_cache)
+        q_offset = start
 
-    attn = _attend(q.transpose(0, 2, 1, 3), kq, vq, slots, k_slots, valid_from)
+    qT = q.transpose(0, 2, 1, 3)
+    # "auto": flash for prefill-shaped calls (enough query rows to fill MXU
+    # tiles), dense for decode-shaped (Sq small — scores are tiny anyway).
+    # s is static under jit, so this resolves at trace time.
+    impl = cfg.attention_impl
+    if impl == "auto":
+        impl = "flash" if (s >= 128 and jax.default_backend() == "tpu") \
+            else "dense"
+    if impl == "flash":
+        # Pallas kernel path. All runtime paths use affine slot layouts
+        # (slots = q_offset + arange), which is what the kernel's
+        # rectangular-causal mask implements; valid_from masks left padding.
+        from ..kernels.flash_attention import flash_attention
+
+        attn = flash_attention(qT, kq, vq, q_offset=q_offset, causal=True,
+                               valid_from=valid_from)
+    else:
+        attn = _attend(qT, kq, vq, slots, k_slots, valid_from)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, hq * hd)
     x = x + _linear(attn, bp["wo"])
 

@@ -63,3 +63,27 @@ def test_int8_kv_decode_steps_consistent():
         outs.append(logits[:, 0])
     step = jnp.stack(outs, axis=1)
     np.testing.assert_allclose(full, step, atol=1e-3)
+
+
+class TestFlashModelPath:
+    """attention_impl='flash' must match the dense path on every runtime
+    shape (uncached, cached prefill, decode, ragged generate)."""
+
+    FLASH = ModelConfig(vocab_size=100, hidden_dim=64, num_layers=2,
+                        num_heads=4, num_kv_heads=2, intermediate_dim=128,
+                        max_seq_len=128, dtype="float32",
+                        attention_impl="flash")
+
+    def test_uncached_forward_matches_dense(self):
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        ids = (jnp.arange(16).reshape(2, 8) * 5) % 100
+        dense, _ = forward(params, ids, CFG)
+        flash, _ = forward(params, ids, self.FLASH)
+        np.testing.assert_allclose(flash, dense, atol=1e-3)
+
+    def test_cached_generation_matches_dense(self):
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        prompts = [[5, 17, 3, 42, 8], [7, 1]]
+        d = cached_generate(params, CFG, prompts, 6, temperature=0.0)
+        f = cached_generate(params, self.FLASH, prompts, 6, temperature=0.0)
+        np.testing.assert_array_equal(d.tokens, f.tokens)

@@ -188,3 +188,14 @@ class TestQuantizedModel:
             init_params(jax.random.PRNGKey(0), cfg))
         out = cached_generate(qparams, cfg, [[1, 2, 3]], 6, temperature=0.0)
         assert out.tokens.shape == (1, 6)
+
+
+class TestMembench:
+    def test_access_pattern_mechanics(self):
+        from physics_llm_inference_tpu.kernels.membench import (
+            measure_access_patterns)
+
+        out = measure_access_patterns(total_mb=2, stride=8, iters=2)
+        assert out["stream_gbps"] > 0
+        assert out["strided_gbps"] > 0
+        assert out["stride"] == 8
