@@ -116,3 +116,40 @@ def test_graft_entry_multichip():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+class TestRingAttention:
+    """Sequence-parallel attention over an 8-device ring ≡ single-device
+    causal attention (additive capability — the reference has none)."""
+
+    def _qkv(self, s=64, hq=4, hkv=2, d=32, key=50):
+        ks = jax.random.split(jax.random.PRNGKey(key), 3)
+        return (jax.random.normal(ks[0], (2, hq, s, d)),
+                jax.random.normal(ks[1], (2, hkv, s, d)),
+                jax.random.normal(ks[2], (2, hkv, s, d)))
+
+    def test_matches_causal_reference(self):
+        from physics_llm_inference_tpu.parallel.ring_attention import (
+            ring_attention)
+        from physics_llm_inference_tpu.ops import causal_attention
+
+        mesh = make_mesh(data=1, model=8)
+        q, k, v = self._qkv()
+        out = ring_attention(mesh, q, k, v, axis="model")
+        kR = jnp.repeat(k, 2, axis=1)
+        vR = jnp.repeat(v, 2, axis=1)
+        ref = causal_attention(q, kR, vR)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_noncausal(self):
+        from physics_llm_inference_tpu.parallel.ring_attention import (
+            ring_attention)
+        from physics_llm_inference_tpu.ops import naive_attention
+
+        mesh = make_mesh(data=1, model=4)
+        q, k, v = self._qkv(s=32, key=51)
+        out = ring_attention(mesh, q, k, v, axis="model", causal=False)
+        ref = naive_attention(q, jnp.repeat(k, 2, 1), jnp.repeat(v, 2, 1))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
