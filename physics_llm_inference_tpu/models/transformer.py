@@ -199,6 +199,14 @@ def block_forward(
     if slots is None:
         slots = positions
 
+    on_tpu = jax.default_backend() == "tpu"
+    # "auto": flash for prefill-shaped calls (enough query rows to fill MXU
+    # tiles), dense for decode-shaped, int8-KV decode kernel for quantized
+    # caches. s is static under jit, so this resolves at trace time.
+    impl = cfg.attention_impl
+    if impl == "auto":
+        impl = "flash" if (s >= 128 and on_tpu) else "dense"
+
     if kv is None:
         kq = k.transpose(0, 2, 1, 3)
         vq = v.transpose(0, 2, 1, 3)
@@ -210,20 +218,31 @@ def block_forward(
         start = jnp.asarray(start)
         k_cache = _cache_write(k_cache, k, start)
         v_cache = _cache_write(v_cache, v, start)
-        kq = _cache_read(k_cache, q.dtype).transpose(0, 2, 1, 3)
-        vq = _cache_read(v_cache, q.dtype).transpose(0, 2, 1, 3)
-        k_slots = jnp.arange(kq.shape[2])
         new_kv = (k_cache, v_cache)
         q_offset = start
 
+        if (s == 1 and isinstance(k_cache, QuantKV) and on_tpu
+                and cfg.attention_impl != "dense"):
+            # INT8-KV decode hot path: fused in-kernel dequant — the cache
+            # crosses HBM at 1 byte/element instead of being materialized
+            # in bf16 first.
+            from ..kernels.int8_kv_attention import int8_kv_decode_attention
+
+            attn = int8_kv_decode_attention(
+                q[:, 0], k_cache.q, k_cache.s, v_cache.q, v_cache.s,
+                q_slot=slots[:, 0], valid_from=valid_from)
+            x = x + _linear(attn.reshape(b, 1, hq * hd), bp["wo"])
+            h = rms_norm(x, bp["ln2"], cfg.norm_eps)
+            gu = _linear(h, bp["w_gate_up"])
+            gate, up = jnp.split(gu, 2, axis=-1)
+            x = x + _linear(jax.nn.silu(gate) * up, bp["w_down"])
+            return x, new_kv
+
+        kq = _cache_read(k_cache, q.dtype).transpose(0, 2, 1, 3)
+        vq = _cache_read(v_cache, q.dtype).transpose(0, 2, 1, 3)
+        k_slots = jnp.arange(kq.shape[2])
+
     qT = q.transpose(0, 2, 1, 3)
-    # "auto": flash for prefill-shaped calls (enough query rows to fill MXU
-    # tiles), dense for decode-shaped (Sq small — scores are tiny anyway).
-    # s is static under jit, so this resolves at trace time.
-    impl = cfg.attention_impl
-    if impl == "auto":
-        impl = "flash" if (s >= 128 and jax.default_backend() == "tpu") \
-            else "dense"
     if impl == "flash":
         # Pallas kernel path. All runtime paths use affine slot layouts
         # (slots = q_offset + arange), which is what the kernel's
