@@ -119,3 +119,24 @@ def roofline_report(results: list[dict]) -> str:
             f"({100*r['roofline_fraction']:.0f}% of roofline, "
             f"AI {r['arithmetic_intensity']:.1f})")
     return "\n".join(lines)
+
+
+def bench_precision(size: int = 4096, iters: int = 10) -> dict:
+    """bf16 (MXU fast path) vs fp32 matmul throughput — the TPU analogue of
+    the reference's tensor-core detection bench (ch05/tensor_cores.py:28-74,
+    verify_tensor_core_usage :112-130: >1.5x speedup heuristic)."""
+    a32 = jax.random.normal(jax.random.PRNGKey(0), (size, size), jnp.float32)
+    b32 = jax.random.normal(jax.random.PRNGKey(1), (size, size), jnp.float32)
+    a16, b16 = a32.astype(jnp.bfloat16), b32.astype(jnp.bfloat16)
+    f32 = jax.jit(lambda a, b: jnp.dot(a, b,
+                                       precision=jax.lax.Precision.HIGHEST))
+    f16 = jax.jit(lambda a, b: jnp.dot(a, b))
+    r32 = benchmark_fn(f32, a32, b32, iters=iters, name="fp32")
+    r16 = benchmark_fn(f16, a16, b16, iters=iters, name="bf16")
+    speedup = r32.mean_ms / r16.mean_ms
+    return {
+        "fp32_ms": r32.mean_ms,
+        "bf16_ms": r16.mean_ms,
+        "speedup": speedup,
+        "mxu_fast_path_detected": speedup > 1.5,
+    }

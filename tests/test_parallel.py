@@ -153,3 +153,27 @@ class TestRingAttention:
         ref = naive_attention(q, jnp.repeat(k, 2, 1), jnp.repeat(v, 2, 1))
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5)
+
+
+class TestScalingBench:
+    def test_tp_decode_scaling_harness(self):
+        from physics_llm_inference_tpu.bench.scaling import (
+            measure_tp_decode, predict_scaling)
+
+        out = measure_tp_decode(CFG, [1, 2, 4], batch=2, cache_len=16,
+                                iters=2)
+        assert set(out) == {1, 2, 4}
+        assert all(r["step_ms"] > 0 for r in out.values())
+        assert "efficiency" in out[2]
+        pred = predict_scaling(CFG, mesh_sizes=(1, 4, 16))
+        assert pred[16]["efficiency"] <= 1.0
+        assert pred[1]["comm_ms"] == 0.0 or pred[1]["efficiency"] == 1.0
+
+    def test_pod_mesh_layout(self):
+        from physics_llm_inference_tpu.parallel.multihost import (
+            initialize_multihost, pod_mesh, is_leader)
+
+        info = initialize_multihost()
+        assert info["processes"] == 1 and is_leader()
+        mesh = pod_mesh(tp=4)
+        assert local_mesh_shape(mesh) == {"data": 2, "model": 4}
