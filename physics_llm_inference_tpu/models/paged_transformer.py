@@ -1,0 +1,150 @@
+"""Paged-KV transformer step functions.
+
+The model side of true paged serving (BASELINE config 3): KV lives in
+per-layer block pools (L, num_blocks, block_size, Hkv, hd) managed by
+runtime/paged_kv.py block tables; decode attends through the
+paged_decode_attention kernel (block-table-indirect DMA), and chunked
+prefill writes blocks with scatter + attends its rectangular window with the
+flash kernel over the request's gathered prefix.
+
+Shapes are fully static: (batch, max_blocks_per_request, chunk buckets) are
+compile-time; per-request raggedness rides in block tables and lengths.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..kernels.flash_attention import flash_attention
+from ..kernels.paged_attention import paged_decode_attention
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope, rope_frequencies
+from .config import ModelConfig
+from .transformer import _linear
+
+
+def _rope_tables(cfg: ModelConfig):
+    if not cfg.use_rope:
+        return None, None
+    return rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))
+def paged_decode_step(params, tokens: jnp.ndarray,
+                      k_pools: jnp.ndarray, v_pools: jnp.ndarray,
+                      tables: jnp.ndarray, lengths: jnp.ndarray,
+                      cfg: ModelConfig):
+    """One decode step for all requests over paged KV.
+
+    tokens: (B,) current token per request; k_pools/v_pools:
+    (L, num_blocks, bs, Hkv, hd); tables: (B, max_blocks) int32;
+    lengths: (B,) tokens already in cache (the new token lands at
+    position `lengths`). Returns (logits (B, V), k_pools, v_pools).
+    """
+    b = tokens.shape[0]
+    bs = k_pools.shape[2]
+    hq, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    x = params["embed"][tokens][:, None, :].astype(jnp.dtype(cfg.dtype))
+    cos, sin = _rope_tables(cfg)
+    positions = lengths[:, None]
+    block_ids = tables[jnp.arange(b), lengths // bs]
+    offsets = lengths % bs
+
+    def body(carry, layer_in):
+        x = carry
+        bp, k_pool, v_pool = layer_in
+        h = rms_norm(x, bp["ln1"], cfg.norm_eps)
+        q = _linear(h, bp["wq"]).reshape(b, 1, hq, hd)
+        k = _linear(h, bp["wk"]).reshape(b, 1, hkv, hd)
+        v = _linear(h, bp["wv"]).reshape(b, 1, hkv, hd)
+        if cos is not None:
+            q = apply_rope(q, cos, sin, positions)
+            k = apply_rope(k, cos, sin, positions)
+        k_pool = k_pool.at[block_ids, offsets].set(
+            k[:, 0].astype(k_pool.dtype))
+        v_pool = v_pool.at[block_ids, offsets].set(
+            v[:, 0].astype(v_pool.dtype))
+        attn = paged_decode_attention(q[:, 0], k_pool, v_pool, tables,
+                                      lengths + 1)
+        x = x + _linear(attn.reshape(b, 1, hq * hd), bp["wo"])
+        h = rms_norm(x, bp["ln2"], cfg.norm_eps)
+        gu = _linear(h, bp["w_gate_up"])
+        gate, up = jnp.split(gu, 2, axis=-1)
+        x = x + _linear(jax.nn.silu(gate) * up, bp["w_down"])
+        return x, (k_pool, v_pool)
+
+    x, (k_pools, v_pools) = lax.scan(
+        body, x, (params["blocks"], k_pools, v_pools))
+    x = rms_norm(x, params["norm"], cfg.norm_eps)
+    logits = _linear(x, params["lm_head"]).astype(jnp.float32)
+    return logits[:, 0], k_pools, v_pools
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))
+def paged_prefill_chunk(params, ids: jnp.ndarray,
+                        k_pools: jnp.ndarray, v_pools: jnp.ndarray,
+                        table: jnp.ndarray, start: jnp.ndarray,
+                        nvalid: jnp.ndarray, cfg: ModelConfig):
+    """Prefill one chunk of ONE request into its paged blocks.
+
+    ids: (1, C) chunk tokens right-padded; table: (max_blocks,) the request's
+    block table; start: chunk's first global position; nvalid: real tokens in
+    the chunk. Attends over the request's prefix gathered from the pool
+    (start tokens) plus the chunk itself via the flash kernel. Returns
+    (last-valid-position logits (1, V), k_pools, v_pools).
+    """
+    c = ids.shape[1]
+    bs = k_pools.shape[2]
+    hq, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    max_blocks = table.shape[0]
+    prefix_cap = max_blocks * bs  # static gather width
+
+    x = params["embed"][ids].astype(jnp.dtype(cfg.dtype))
+    cos, sin = _rope_tables(cfg)
+    positions = start + jnp.arange(c)[None, :]
+    # scatter targets for the chunk's tokens
+    pos = start + jnp.arange(c)
+    blk = table[pos // bs]
+    off = pos % bs
+    nb = k_pools.shape[1]
+    blk = jnp.where(jnp.arange(c) < nvalid, blk, nb)  # drop padding writes
+
+    def body(carry, layer_in):
+        x = carry
+        bp, k_pool, v_pool = layer_in
+        h = rms_norm(x, bp["ln1"], cfg.norm_eps)
+        q = _linear(h, bp["wq"]).reshape(1, c, hq, hd)
+        k = _linear(h, bp["wk"]).reshape(1, c, hkv, hd)
+        v = _linear(h, bp["wv"]).reshape(1, c, hkv, hd)
+        if cos is not None:
+            q = apply_rope(q, cos, sin, positions)
+            k = apply_rope(k, cos, sin, positions)
+        k_pool = k_pool.at[blk, off].set(k[0].astype(k_pool.dtype),
+                                         mode="drop")
+        v_pool = v_pool.at[blk, off].set(v[0].astype(v_pool.dtype),
+                                         mode="drop")
+        # gather the request's whole (padded) KV range contiguously:
+        # (max_blocks·bs, Hkv, hd) — includes the chunk just written
+        k_seq = k_pool[table].reshape(1, prefix_cap, hkv, hd)
+        v_seq = v_pool[table].reshape(1, prefix_cap, hkv, hd)
+        attn = flash_attention(
+            q.transpose(0, 2, 1, 3),
+            k_seq.transpose(0, 2, 1, 3).astype(q.dtype),
+            v_seq.transpose(0, 2, 1, 3).astype(q.dtype),
+            q_offset=start, causal=True)
+        attn = attn.transpose(0, 2, 1, 3).reshape(1, c, hq * hd)
+        x = x + _linear(attn, bp["wo"])
+        h = rms_norm(x, bp["ln2"], cfg.norm_eps)
+        gu = _linear(h, bp["w_gate_up"])
+        gate, up = jnp.split(gu, 2, axis=-1)
+        x = x + _linear(jax.nn.silu(gate) * up, bp["w_down"])
+        return x, (k_pool, v_pool)
+
+    x, (k_pools, v_pools) = lax.scan(
+        body, x, (params["blocks"], k_pools, v_pools))
+    x = rms_norm(x, params["norm"], cfg.norm_eps)
+    logits = _linear(x, params["lm_head"]).astype(jnp.float32)
+    return logits[0, nvalid - 1][None, :], k_pools, v_pools

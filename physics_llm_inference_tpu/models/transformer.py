@@ -50,17 +50,20 @@ def _linear(x: jnp.ndarray, w) -> jnp.ndarray:
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
     scale = w.s.reshape(1, n)
+    # Big weight tiles: decode is weight-streaming-bound, so fewer grid steps
+    # with ~2-4 MB weight DMAs keep HBM at full bandwidth (v5e measurement:
+    # small 256x512 tiles leave 3x on the table at batch 8).
+    bk = _pick_block(k, (2048, 1024, 512, 256, 128))
+    bn = _pick_block(n, (1024, 512, 256, 128))
     use_kernel = (jax.default_backend() == "tpu"
                   and m % (_pick_block(m, (256, 8)) or m + 1) == 0
-                  and _pick_block(k) is not None
-                  and _pick_block(n, (256, 128)) is not None)
+                  and bk is not None and bn is not None)
     if use_kernel:
         from ..kernels.int8_matmul import int8_matmul
 
         out = int8_matmul(x2, w.q, scale,
                           block_m=_pick_block(m, (256, 8)),
-                          block_n=_pick_block(n, (256, 128)),
-                          block_k=_pick_block(k),
+                          block_n=bn, block_k=bk,
                           out_dtype=x.dtype)
     else:
         acc = jnp.dot(x2, w.q.astype(x.dtype),

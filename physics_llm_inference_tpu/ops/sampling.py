@@ -65,21 +65,25 @@ def sample_token(
     rng: jax.Array,
     temperature: jnp.ndarray | float = 1.0,
     top_k: int = 0,
-    top_p: jnp.ndarray | float = 1.0,
+    top_p: jnp.ndarray | float | None = 1.0,
 ) -> jnp.ndarray:
     """Sample next token ids from (..., V) logits. Fully jit-traceable.
 
     temperature <= 0 selects greedy decoding (evaluated per element with
     jnp.where, so a mixed batch of greedy and sampled requests works).
+    top_p=None skips nucleus filtering at trace time — top-p needs a full
+    vocab sort per step, a real cost in the decode loop; pass None when every
+    request in the compiled batch has top_p == 1.
     """
     temperature = jnp.asarray(temperature, dtype=jnp.float32)
-    top_p = jnp.asarray(top_p, dtype=jnp.float32)
     greedy = greedy_sample(logits)
 
     safe_t = jnp.where(temperature > 0, temperature, 1.0)
     scaled = logits.astype(jnp.float32) / safe_t[..., None]
     if top_k > 0:
         scaled = _apply_top_k(scaled, top_k)
-    scaled = _apply_top_p(scaled, top_p[..., None])
+    if top_p is not None:
+        top_p = jnp.asarray(top_p, dtype=jnp.float32)
+        scaled = _apply_top_p(scaled, top_p[..., None])
     sampled = jax.random.categorical(rng, scaled, axis=-1)
     return jnp.where(temperature > 0, sampled, greedy)

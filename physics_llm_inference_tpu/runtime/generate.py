@@ -110,7 +110,7 @@ def _decode_scan(params, cfg: ModelConfig, kv: KVSlice, first_token, lens,
                              valid_from=valid_from, last_only=True)
         rng, sub = jax.random.split(rng)
         nxt = sample_token(logits[:, 0], sub, temperature=temperature,
-                           top_k=top_k, top_p=top_p)
+                           top_k=top_k, top_p=top_p)  # top_p None → no sort
         done = done | is_stop(tok)
         return (kv, nxt.astype(jnp.int32), rng, done), emitted
 
@@ -122,12 +122,13 @@ def _decode_scan(params, cfg: ModelConfig, kv: KVSlice, first_token, lens,
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_steps", "top_k", "pad_id",
-                                   "has_stops"))
+                                   "has_stops", "has_top_p"))
 def _decode_jit(params, cfg, kv, first_token, lens, valid_from, rng,
                 num_steps, temperature, top_k, top_p, stop_array, pad_id,
-                has_stops):
+                has_stops, has_top_p):
     return _decode_scan(params, cfg, kv, first_token, lens, valid_from, rng,
-                        num_steps, temperature, top_k, top_p,
+                        num_steps, temperature, top_k,
+                        top_p if has_top_p else None,
                         stop_array if has_stops else None, pad_id)
 
 
@@ -163,9 +164,11 @@ def cached_generate(
         _prefill_jit(params, cfg, ids, lens, cache.as_slice()))
     prefill_s = time.perf_counter() - t0
 
+    has_top_p = top_p < 1.0
     rng, sub = jax.random.split(rng)
     first = sample_token(logits0, sub, temperature=jnp.float32(temperature),
-                         top_k=top_k, top_p=jnp.float32(top_p))
+                         top_k=top_k,
+                         top_p=jnp.float32(top_p) if has_top_p else None)
 
     stop_array = jnp.asarray(stop_tokens, dtype=jnp.int32) if stop_tokens \
         else jnp.zeros((1,), jnp.int32)
@@ -173,7 +176,8 @@ def cached_generate(
     tokens, _ = jax.block_until_ready(_decode_jit(
         params, cfg, kv, first, lens, valid_from, rng,
         max_new_tokens, jnp.float32(temperature), top_k,
-        jnp.float32(top_p), stop_array, pad_id, bool(stop_tokens)))
+        jnp.float32(top_p), stop_array, pad_id, bool(stop_tokens),
+        has_top_p))
     decode_s = time.perf_counter() - t0
 
     tokens = np.array(tokens)  # writable copy (np.asarray views jax buffers read-only)

@@ -56,8 +56,11 @@ class PagedKVCache:
     def blocks_needed(self, num_tokens: int) -> int:
         return -(-num_tokens // self.block_size)
 
-    def can_allocate(self, num_tokens: int) -> bool:
-        return self.blocks_needed(num_tokens) <= len(self.free_blocks)
+    def can_allocate(self, num_tokens: int,
+                     shared_blocks: list[int] | None = None) -> bool:
+        covered = len(shared_blocks or ()) * self.block_size
+        return (self.blocks_needed(max(0, num_tokens - covered))
+                <= len(self.free_blocks))
 
     # -- allocation (ref :53-98) ---------------------------------------------
 
@@ -111,6 +114,28 @@ class PagedKVCache:
             return 0
         freed = 0
         for b in table.block_ids:
+            self.ref_counts[b] -= 1
+            if self.ref_counts[b] == 0:
+                del self.ref_counts[b]
+                self.free_blocks.add(b)
+                freed += 1
+        return freed
+
+    # -- external ownership (radix prefix cache pins blocks) ------------------
+
+    def ref_blocks(self, block_ids) -> None:
+        """Take an extra reference on blocks (e.g. the radix cache keeping a
+        finished request's prefix alive for reuse)."""
+        for b in block_ids:
+            self.ref_counts[b] = self.ref_counts.get(b, 0) + 1
+            self.free_blocks.discard(b)
+
+    def release_blocks(self, block_ids) -> int:
+        """Drop references taken with ref_blocks; returns #blocks freed."""
+        freed = 0
+        for b in block_ids:
+            if b not in self.ref_counts:
+                continue
             self.ref_counts[b] -= 1
             if self.ref_counts[b] == 0:
                 del self.ref_counts[b]

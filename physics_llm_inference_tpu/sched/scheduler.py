@@ -27,6 +27,11 @@ class SchedulerConfig:
     max_batch_size: int = 32
     max_tokens_per_batch: int = 8192
     policy: SchedulingPolicy = SchedulingPolicy.FCFS
+    # KV reservation at admission: "full" reserves prompt+max_new upfront
+    # (no decode-time OOM, lower occupancy — the slot engine's policy);
+    # "prompt" reserves the prompt only and grows block-by-block during
+    # decode (vLLM-style paged policy; pairs with preemption on pressure).
+    kv_reserve: str = "full"
 
 
 @dataclass
@@ -42,9 +47,13 @@ class SchedulerOutput:
 
 class Scheduler:
     def __init__(self, config: SchedulerConfig | None = None,
-                 kv_pool: PagedKVCache | None = None):
+                 kv_pool: PagedKVCache | None = None,
+                 shared_blocks_fn=None):
         self.config = config or SchedulerConfig()
         self.kv_pool = kv_pool
+        # optional hook: req -> list of prefix block ids already cached
+        # (radix prefix reuse); attached by reference at allocation
+        self.shared_blocks_fn = shared_blocks_fn
         self.waiting: list[Request] = []
         self.running: dict[str, Request] = {}
         self.num_finished = 0
@@ -101,16 +110,18 @@ class Scheduler:
                 break
             if req.prompt_len > budget:
                 continue
+            reserve = req.prompt_len + (
+                req.max_new_tokens if self.config.kv_reserve == "full" else 1)
+            shared = (self.shared_blocks_fn(req)
+                      if self.shared_blocks_fn else None)
             if self.kv_pool is not None and not self.kv_pool.can_allocate(
-                    req.prompt_len + req.max_new_tokens):
-                out.preempted.extend(
-                    self._preempt_for(req.prompt_len + req.max_new_tokens))
-                if not self.kv_pool.can_allocate(
-                        req.prompt_len + req.max_new_tokens):
+                    reserve, shared):
+                out.preempted.extend(self._preempt_for(reserve))
+                if not self.kv_pool.can_allocate(reserve, shared):
                     continue
             if self.kv_pool is not None:
-                self.kv_pool.allocate(req.request_id,
-                                      req.prompt_len + req.max_new_tokens)
+                self.kv_pool.allocate(req.request_id, reserve,
+                                      shared_blocks=shared)
                 req.kv_request_id = req.request_id
             self.waiting.remove(req)
             req.state = RequestState.RUNNING

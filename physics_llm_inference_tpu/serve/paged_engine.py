@@ -1,0 +1,385 @@
+"""Paged inference engine: continuous batching over block-table KV with
+radix prefix reuse — BASELINE config 3 (ch07's full story, integrated).
+
+Differences from the slot engine (serve/engine.py):
+- KV lives in per-layer block POOLS (L, num_blocks+1, bs, Hkv, hd); requests
+  own scattered blocks via PagedKVCache tables (+1 = trash block absorbing
+  writes of inactive batch rows).
+- Admission reserves the prompt only (SchedulerConfig.kv_reserve="prompt");
+  decode grows block-by-block, and memory pressure is relieved by radix
+  eviction first, then scheduler preemption — the triggered-preemption path
+  the reference never wires.
+- A radix prefix cache (C++-backed when available) is consulted on
+  admission: fully-cached prompt blocks attach by reference (no copy, no
+  recompute) and prefill starts at the first uncached block — prefix hits
+  cut TTFT by matched_len/prompt_len.
+- Decode attends through the paged_decode_attention kernel: block tables
+  drive the DMA, so fragmentation costs nothing.
+"""
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..models.paged_transformer import paged_decode_step, paged_prefill_chunk
+from ..native import make_radix_cache
+from ..ops.sampling import SamplingParams, sample_token
+from ..runtime.paged_kv import PagedKVCache
+from ..runtime.step_cache import StepCache, bucket_for
+from ..sched.request import Request, RequestState
+from ..sched.scheduler import Scheduler, SchedulerConfig, SchedulingPolicy
+from .engine import GenerationRequest, GenerationResult
+
+
+@dataclass
+class PagedEngineConfig:
+    num_blocks: int = 256
+    block_size: int = 16
+    max_batch: int = 8                  # compiled decode width
+    max_blocks_per_request: int = 32
+    prompt_buckets: tuple = (16, 32, 64, 128, 256, 512)
+    max_prefill_chunk: int = 512
+    policy: SchedulingPolicy = SchedulingPolicy.FCFS
+    enable_radix: bool = True
+    kv_dtype: str | None = None
+
+
+class PagedInferenceEngine:
+    def __init__(self, params, model_cfg: ModelConfig,
+                 config: PagedEngineConfig | None = None):
+        self.params = params
+        self.cfg = model_cfg
+        self.config = c = config or PagedEngineConfig()
+
+        kv_dtype = jnp.dtype(c.kv_dtype or model_cfg.dtype)
+        pool_shape = (model_cfg.num_layers, c.num_blocks + 1, c.block_size,
+                      model_cfg.num_kv_heads, model_cfg.head_dim)
+        self._k = jnp.zeros(pool_shape, kv_dtype)
+        self._v = jnp.zeros(pool_shape, kv_dtype)
+        self._trash = c.num_blocks  # physical row for dead writes
+
+        self.pool = PagedKVCache(num_blocks=c.num_blocks,
+                                 block_size=c.block_size,
+                                 num_layers=model_cfg.num_layers,
+                                 num_kv_heads=model_cfg.num_kv_heads,
+                                 head_dim=model_cfg.head_dim)
+        self.radix = make_radix_cache() if c.enable_radix else None
+        self._radix_owned: dict[int, int] = {}  # block -> cached-token count
+        self._matched: dict[str, int] = {}      # rid -> matched prefix len
+
+        self.scheduler = Scheduler(
+            SchedulerConfig(max_batch_size=c.max_batch,
+                            max_tokens_per_batch=c.num_blocks * c.block_size,
+                            policy=c.policy, kv_reserve="prompt"),
+            kv_pool=self.pool,
+            shared_blocks_fn=self._shared_blocks_for)
+
+        self._row_of: dict[str, int] = {}
+        self._tables = np.full((c.max_batch, c.max_blocks_per_request),
+                               self._trash, dtype=np.int32)
+        self._lengths = np.zeros(c.max_batch, dtype=np.int32)
+        self._active = np.zeros(c.max_batch, dtype=bool)
+
+        self._lock = threading.RLock()
+        self._next_id = 0
+        self._rng = jax.random.PRNGKey(0)
+        self._results: dict[str, GenerationResult] = {}
+        self._listeners: dict[str, list] = {}
+        self._total_requests = 0
+        self._total_tokens = 0
+        self._radix_hit_tokens = 0
+        self._prefill_cache = StepCache(self._make_prefill)
+
+    # -------------------------------------------------------------- radix
+
+    def _shared_blocks_for(self, r: Request) -> list[int]:
+        """Scheduler hook: full blocks of the longest cached prefix.
+
+        No radix lock is taken: match and allocate happen synchronously in
+        the single engine thread, and once allocated the pool refcount keeps
+        shared blocks alive independently of radix eviction.
+        """
+        if self.radix is None:
+            return []
+        bs = self.config.block_size
+        matched, kv_idx = self.radix.match_prefix(r.prompt_tokens)
+        # keep at least one prompt token for prefill (need logits to sample)
+        matched = min(matched, r.prompt_len - 1)
+        matched_blocks = matched // bs
+        self._matched[r.request_id] = matched_blocks * bs
+        shared = [kv_idx[i] // bs for i in range(0, matched_blocks * bs, bs)]
+        if matched > 0:
+            self._radix_hit_tokens += matched_blocks * bs
+        return shared
+
+    def _radix_commit(self, r: Request) -> None:
+        """On retirement: publish the prompt's KV into the radix cache and
+        pin its blocks in the pool until eviction."""
+        if self.radix is None:
+            return
+        table = self.pool.tables.get(r.kv_request_id or r.request_id)
+        if table is None:
+            return
+        bs = self.config.block_size
+        full = (r.prompt_len // bs) * bs
+        if full == 0:
+            return
+        kv_idx = [table.block_ids[p // bs] * bs + p % bs for p in range(full)]
+        inserted = self.radix.insert(r.prompt_tokens[:full], kv_idx)
+        # pin every block that now holds cached tokens
+        for p in range(full - inserted, full):
+            b = kv_idx[p] // bs
+            self._radix_owned[b] = self._radix_owned.get(b, 0) + 1
+            if self._radix_owned[b] == 1:
+                self.pool.ref_blocks([b])
+
+    def _radix_evict(self, num_tokens: int) -> int:
+        """Release LRU cached prefixes until num_tokens are freed (or dry)."""
+        if self.radix is None:
+            return 0
+        freed_idx = self.radix.evict(num_tokens)
+        bs = self.config.block_size
+        released = 0
+        for idx in freed_idx:
+            b = idx // bs
+            if b in self._radix_owned:
+                self._radix_owned[b] -= 1
+                if self._radix_owned[b] == 0:
+                    del self._radix_owned[b]
+                    released += self.pool.release_blocks([b])
+        return released
+
+    # ---------------------------------------------------------------- jit
+
+    def _make_prefill(self, c_bucket: int):
+        cfg = self.cfg
+
+        def fn(params, ids, k, v, table, start, nvalid):
+            return paged_prefill_chunk(params, ids, k, v, table, start,
+                                       nvalid, cfg)
+
+        return jax.jit(fn, donate_argnums=(2, 3))
+
+    # ------------------------------------------------------------ requests
+
+    def submit_request(self, req: GenerationRequest) -> str:
+        with self._lock:
+            rid = req.request_id or f"req-{self._next_id}"
+            self._next_id += 1
+            self._total_requests += 1
+        cap = self.config.max_blocks_per_request * self.config.block_size
+        if len(req.prompt_tokens) + req.max_tokens > cap:
+            raise ValueError(
+                f"prompt+max_tokens exceeds per-request KV capacity {cap}")
+        r = Request(
+            request_id=rid,
+            prompt_tokens=list(req.prompt_tokens),
+            max_new_tokens=req.max_tokens,
+            sampling=SamplingParams(temperature=req.temperature,
+                                    top_p=req.top_p,
+                                    stop_tokens=tuple(req.stop_tokens)),
+        )
+        with self._lock:
+            self.scheduler.add_request(r)
+            self._listeners[rid] = []
+        return rid
+
+    def _split_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def _sync_table_row(self, row: int, rid: str) -> None:
+        tbl = self.pool.tables[rid].block_ids
+        self._tables[row, :] = self._trash
+        self._tables[row, :len(tbl)] = tbl
+
+    # ---------------------------------------------------------------- step
+
+    def step(self) -> dict[str, int]:
+        # admission starvation relief: when the pool can't fit the next
+        # waiting request, reclaim radix-cached prefixes first (LRU) —
+        # eviction-before-preemption order
+        if self.scheduler.waiting and self.radix is not None:
+            head = self.scheduler.waiting[0]
+            shared = self._shared_blocks_for(head)
+            self._matched.pop(head.request_id, None)
+            if not self.pool.can_allocate(head.prompt_len + 1, shared):
+                self._radix_evict(head.prompt_len + 1)
+
+        out = self.scheduler.schedule()
+        emitted: dict[str, int] = {}
+
+        for r in out.preempted:
+            row = self._row_of.pop(r.request_id, None)
+            if row is not None:
+                self._active[row] = False
+            r.output_tokens.clear()
+            self._matched.pop(r.request_id, None)
+
+        # ---- prefill admitted requests (chunked; radix-matched prefix skipped)
+        for r in out.prefill:
+            row = next(i for i in range(self.config.max_batch)
+                       if not self._active[i])
+            self._row_of[r.request_id] = row
+            r.start_time = r.start_time or time.monotonic()
+            self._sync_table_row(row, r.request_id)
+            table = jnp.asarray(self._tables[row])
+            p = r.prompt_len
+            pos = self._matched.pop(r.request_id, 0) if r.prefill_pos == 0 \
+                else r.prefill_pos
+            logits = None
+            while pos < p:
+                n = min(p - pos, self.config.max_prefill_chunk)
+                cb = bucket_for(n, self.config.prompt_buckets)
+                ids = np.zeros((1, cb), dtype=np.int32)
+                ids[0, :n] = r.prompt_tokens[pos:pos + n]
+                fn = self._prefill_cache.get(cb)
+                logits, self._k, self._v = fn(
+                    self.params, jnp.asarray(ids), self._k, self._v,
+                    table, jnp.int32(pos), jnp.int32(n))
+                pos += n
+                r.prefill_pos = pos
+            tok = sample_token(logits, self._split_rng(),
+                               temperature=jnp.float32(r.sampling.temperature),
+                               top_p=jnp.float32(r.sampling.top_p))
+            tok_i = int(tok[0])
+            self._lengths[row] = p
+            self._active[row] = True
+            r.first_token_time = time.monotonic()
+            r.output_tokens.append(tok_i)
+            emitted[r.request_id] = tok_i
+            self._notify(r, tok_i)
+
+        # ---- grow KV for decoding requests; relieve pressure if needed
+        decode_reqs = []
+        for r in out.decode:
+            if r.request_id not in self._row_of or r.is_done():
+                continue
+            rid = r.kv_request_id or r.request_id
+            row = self._row_of[r.request_id]
+            needed = int(self._lengths[row]) + 1
+            tbl = self.pool.tables[rid]
+            if self.pool.blocks_needed(needed) > tbl.num_blocks():
+                if not self.pool.free_blocks:
+                    self._radix_evict(self.config.block_size)
+                if not self.pool.free_blocks:
+                    # preempt someone else (never self) — or skip this step
+                    victims = self.scheduler._preempt_for(
+                        self.config.block_size)
+                    for v in victims:
+                        vrow = self._row_of.pop(v.request_id, None)
+                        if vrow is not None:
+                            self._active[vrow] = False
+                        v.output_tokens.clear()
+                if not self.pool.free_blocks:
+                    continue  # still full: request waits this iteration
+            try:
+                fresh = self.pool.extend(rid, 1)
+            except RuntimeError:
+                continue
+            if fresh:
+                self._sync_table_row(row, rid)
+            decode_reqs.append(r)
+
+        # ---- one paged decode dispatch for the whole batch
+        if decode_reqs:
+            tokens = np.zeros(self.config.max_batch, dtype=np.int32)
+            temps = np.ones(self.config.max_batch, dtype=np.float32)
+            top_ps = np.ones(self.config.max_batch, dtype=np.float32)
+            for r in decode_reqs:
+                row = self._row_of[r.request_id]
+                tokens[row] = r.output_tokens[-1]
+                temps[row] = r.sampling.temperature
+                top_ps[row] = r.sampling.top_p
+            logits, self._k, self._v = paged_decode_step(
+                self.params, jnp.asarray(tokens), self._k, self._v,
+                jnp.asarray(self._tables), jnp.asarray(self._lengths),
+                self.cfg)
+            nxt = sample_token(logits, self._split_rng(),
+                               temperature=jnp.asarray(temps),
+                               top_p=jnp.asarray(top_ps))
+            nxt = np.array(nxt)
+            for r in decode_reqs:
+                row = self._row_of[r.request_id]
+                self._lengths[row] += 1
+                tok_i = int(nxt[row])
+                r.output_tokens.append(tok_i)
+                emitted[r.request_id] = tok_i
+                self._notify(r, tok_i)
+
+        # ---- retire
+        finished = []
+        for r in list(self.scheduler.running.values()):
+            reason = None
+            if r.state == RequestState.ABORTED:
+                reason = "abort"
+            elif (r.sampling.stop_tokens and r.output_tokens
+                    and r.output_tokens[-1] in r.sampling.stop_tokens):
+                reason = "stop"
+            elif r.num_generated >= r.max_new_tokens:
+                reason = "length"
+            if reason:
+                if not r.is_done():
+                    r.finish(reason)
+                finished.append(r.request_id)
+        for rid in finished:
+            r = self.scheduler.running[rid]
+            self._radix_commit(r)
+            row = self._row_of.pop(rid, None)
+            if row is not None:
+                self._active[row] = False
+                self._tables[row, :] = self._trash
+            self._finish(r)
+        if finished:
+            self.scheduler.update(finished)
+        return emitted
+
+    def _notify(self, r: Request, tok: int) -> None:
+        for q in self._listeners.get(r.request_id, []):
+            q.append(tok)
+
+    def _finish(self, r: Request) -> None:
+        total = (r.finish_time or time.monotonic()) - r.arrival_time
+        self._results[r.request_id] = GenerationResult(
+            request_id=r.request_id, tokens=list(r.output_tokens),
+            finish_reason=r.finish_reason or "length",
+            ttft_s=r.ttft(), total_s=total)
+        with self._lock:
+            self._total_tokens += len(r.output_tokens)
+
+    def run_until_done(self, request_ids=None, max_steps: int = 100_000):
+        for _ in range(max_steps):
+            if request_ids is not None and all(
+                    rid in self._results for rid in request_ids):
+                return
+            if request_ids is None and not (self.scheduler.waiting
+                                            or self.scheduler.running):
+                return
+            self.step()
+
+    def generate(self, req: GenerationRequest) -> GenerationResult:
+        rid = self.submit_request(req)
+        self.run_until_done([rid])
+        return self._results[rid]
+
+    def get_result(self, request_id: str):
+        return self._results.get(request_id)
+
+    def stats(self) -> dict:
+        s = {
+            "total_requests": self._total_requests,
+            "total_tokens": self._total_tokens,
+            "radix_hit_tokens": self._radix_hit_tokens,
+            "scheduler": self.scheduler.stats(),
+            "pool": self.pool.stats(),
+            "prefill_compile": self._prefill_cache.stats(),
+        }
+        if self.radix is not None:
+            s["radix"] = self.radix.stats()
+        return s
