@@ -38,7 +38,9 @@ def main():
                       num_heads=16, num_kv_heads=4, intermediate_dim=5632,
                       max_seq_len=2048, dtype="bfloat16",
                       attention_impl="auto")
-    batch, prompt_len, new_tokens = 8, 128, 128
+    # batch 32: decode is weight-streaming-bound, so tokens/s/chip scales
+    # with batch until the KV stream catches up (the ch03 batching lesson)
+    batch, prompt_len, new_tokens = 32, 128, 128
 
     log(f"devices: {jax.devices()}")
     log(f"model: {cfg.param_count()/1e9:.2f}B params INT8 W+KV, "

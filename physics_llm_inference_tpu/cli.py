@@ -73,8 +73,18 @@ def cmd_serve(args):
     from .serve.http_server import InferenceServer
 
     params, cfg = _load_model(args)
-    engine = InferenceEngine(params, cfg, EngineConfig(
-        num_slots=args.slots, max_seq_len=args.max_seq_len))
+    if args.paged:
+        from .serve.paged_engine import PagedEngineConfig, PagedInferenceEngine
+
+        block_size = 16
+        engine = PagedInferenceEngine(params, cfg, PagedEngineConfig(
+            max_batch=args.slots,
+            num_blocks=args.slots * args.max_seq_len // block_size,
+            block_size=block_size,
+            max_blocks_per_request=args.max_seq_len // block_size))
+    else:
+        engine = InferenceEngine(params, cfg, EngineConfig(
+            num_slots=args.slots, max_seq_len=args.max_seq_len))
     server = InferenceServer(engine, host=args.host, port=args.port,
                              model_name=args.config)
     print(f"[cli] serving on http://{args.host}:{server.port}",
@@ -127,6 +137,8 @@ def main(argv=None):
     s.add_argument("--port", type=int, default=8000)
     s.add_argument("--slots", type=int, default=8)
     s.add_argument("--max-seq-len", type=int, default=1024)
+    s.add_argument("--paged", action="store_true",
+                   help="paged-KV engine with radix prefix cache")
     s.set_defaults(fn=cmd_serve)
 
     g = sub.add_parser("generate", help="one-shot generation")

@@ -32,6 +32,12 @@ class ModelConfig:
     # requires the affine slot layouts all runtime paths use), or "auto"
     # (flash for prefill-shaped calls on TPU, dense otherwise).
     attention_impl: str = "auto"
+    # MoE: num_experts > 0 replaces every block's dense SwiGLU with a routed
+    # mixture (models/moe.py; ref ch09/moe_layer.py). intermediate_dim is the
+    # per-expert FFN width.
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+    expert_capacity_factor: float = 1.25
 
     def __post_init__(self):
         assert self.hidden_dim % self.num_heads == 0

@@ -137,21 +137,54 @@ def init_params(rng: jax.Array, cfg: ModelConfig) -> dict:
     def w(key, shape, fan_in):
         return (jax.random.normal(key, shape) * (fan_in ** -0.5)).astype(dtype)
 
-    return {
-        "embed": w(keys[0], (v, d), d),
-        "blocks": {
-            "ln1": jnp.ones((L, d), dtype),
-            "wq": w(keys[1], (L, d, cfg.num_heads * hd), d),
-            "wk": w(keys[2], (L, d, cfg.num_kv_heads * hd), d),
-            "wv": w(keys[3], (L, d, cfg.num_kv_heads * hd), d),
-            "wo": w(keys[4], (L, cfg.num_heads * hd, d), d),
-            "ln2": jnp.ones((L, d), dtype),
+    blocks = {
+        "ln1": jnp.ones((L, d), dtype),
+        "wq": w(keys[1], (L, d, cfg.num_heads * hd), d),
+        "wk": w(keys[2], (L, d, cfg.num_kv_heads * hd), d),
+        "wv": w(keys[3], (L, d, cfg.num_kv_heads * hd), d),
+        "wo": w(keys[4], (L, cfg.num_heads * hd, d), d),
+        "ln2": jnp.ones((L, d), dtype),
+    }
+    if cfg.num_experts > 0:
+        e = cfg.num_experts
+        ks = jax.random.split(keys[5], 4)
+        blocks.update({
+            "moe_gate": w(ks[0], (L, d, e), d),
+            "moe_w1": w(ks[1], (L, e, d, f), d),
+            "moe_w3": w(ks[2], (L, e, d, f), d),
+            "moe_w2": w(ks[3], (L, e, f, d), f),
+        })
+    else:
+        blocks.update({
             "w_gate_up": w(keys[5], (L, d, 2 * f), d),
             "w_down": w(keys[6], (L, f, d), f),
-        },
+        })
+    return {
+        "embed": w(keys[0], (v, d), d),
+        "blocks": blocks,
         "norm": jnp.ones((d,), dtype),
         "lm_head": w(keys[7], (d, v), d),
     }
+
+
+def _ffn(bp: dict, h: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """Block FFN: dense fused SwiGLU, or routed MoE when cfg.num_experts > 0
+    (ref ch09/moe_layer.py integrated into the block — the reference never
+    wires MoE into its transformer)."""
+    if cfg.num_experts > 0:
+        from .config import MoEConfig
+        from .moe import moe_layer
+
+        moe_cfg = MoEConfig(num_experts=cfg.num_experts,
+                            num_experts_per_tok=cfg.num_experts_per_tok,
+                            capacity_factor=cfg.expert_capacity_factor)
+        out, _ = moe_layer(h, {"gate": bp["moe_gate"], "w1": bp["moe_w1"],
+                               "w3": bp["moe_w3"], "w2": bp["moe_w2"]},
+                           moe_cfg)
+        return out
+    gu = _linear(h, bp["w_gate_up"])
+    gate, up = jnp.split(gu, 2, axis=-1)
+    return _linear(jax.nn.silu(gate) * up, bp["w_down"])
 
 
 def _attend(q, k, v, q_slots, k_slots, valid_from=None):
@@ -235,10 +268,7 @@ def block_forward(
                 q[:, 0], k_cache.q, k_cache.s, v_cache.q, v_cache.s,
                 q_slot=slots[:, 0], valid_from=valid_from)
             x = x + _linear(attn.reshape(b, 1, hq * hd), bp["wo"])
-            h = rms_norm(x, bp["ln2"], cfg.norm_eps)
-            gu = _linear(h, bp["w_gate_up"])
-            gate, up = jnp.split(gu, 2, axis=-1)
-            x = x + _linear(jax.nn.silu(gate) * up, bp["w_down"])
+            x = x + _ffn(bp, rms_norm(x, bp["ln2"], cfg.norm_eps), cfg)
             return x, new_kv
 
         kq = _cache_read(k_cache, q.dtype).transpose(0, 2, 1, 3)
@@ -258,12 +288,7 @@ def block_forward(
         attn = _attend(qT, kq, vq, slots, k_slots, valid_from)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, hq * hd)
     x = x + _linear(attn, bp["wo"])
-
-    # fused SwiGLU (ops/ffn.py math, routed through _linear for INT8 weights)
-    h = rms_norm(x, bp["ln2"], cfg.norm_eps)
-    gu = _linear(h, bp["w_gate_up"])
-    gate, up = jnp.split(gu, 2, axis=-1)
-    x = x + _linear(jax.nn.silu(gate) * up, bp["w_down"])
+    x = x + _ffn(bp, rms_norm(x, bp["ln2"], cfg.norm_eps), cfg)
     return x, new_kv
 
 

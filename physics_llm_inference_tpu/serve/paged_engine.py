@@ -190,6 +190,34 @@ class PagedInferenceEngine:
             self._listeners[rid] = []
         return rid
 
+    def abort_request(self, request_id: str) -> bool:
+        with self._lock:
+            for r in self.scheduler.waiting:
+                if r.request_id == request_id:
+                    r.abort()
+                    self.scheduler.waiting.remove(r)
+                    self._finish(r)
+                    return True
+            r = self.scheduler.running.get(request_id)
+            if r is not None:
+                r.abort()
+                return True
+        return False
+
+    def generate_stream(self, req: GenerationRequest):
+        """Yield tokens as generated (same contract as the slot engine)."""
+        rid = self.submit_request(req)
+        buf: list[int] = []
+        self._listeners[rid].append(buf)
+        sent = 0
+        while rid not in self._results or sent < len(buf):
+            if sent < len(buf):
+                yield buf[sent]
+                sent += 1
+            else:
+                self.step()
+        self._listeners.pop(rid, None)
+
     def _split_rng(self):
         self._rng, sub = jax.random.split(self._rng)
         return sub

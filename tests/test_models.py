@@ -166,3 +166,33 @@ class TestMoE:
         out, aux = moe_layer(x, moe_params, moe)
         assert out.shape == x.shape
         assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestMoETransformer:
+    """MoE FFN integrated into the full model (BASELINE config 5 groundwork)."""
+
+    MOE_CFG = ModelConfig(vocab_size=100, hidden_dim=64, num_layers=2,
+                          num_heads=4, num_kv_heads=2, intermediate_dim=96,
+                          max_seq_len=64, dtype="float32", num_experts=4,
+                          num_experts_per_tok=2, expert_capacity_factor=4.0)
+
+    def test_forward_and_causality(self):
+        params = init_params(jax.random.PRNGKey(0), self.MOE_CFG)
+        assert "moe_gate" in params["blocks"]
+        ids = jnp.arange(8)[None, :] % 100
+        logits, _ = forward(params, ids, self.MOE_CFG)
+        assert logits.shape == (1, 8, 100)
+        ids2 = ids.at[0, -1].set(99)
+        logits2, _ = forward(params, ids2, self.MOE_CFG)
+        np.testing.assert_allclose(logits[0, :-1], logits2[0, :-1], atol=1e-4)
+
+    def test_moe_generation(self):
+        from physics_llm_inference_tpu.runtime import cached_generate
+
+        params = init_params(jax.random.PRNGKey(1), self.MOE_CFG)
+        out = cached_generate(params, self.MOE_CFG, [[1, 2, 3]], 6,
+                              temperature=0.0)
+        assert out.tokens.shape == (1, 6)
+        out2 = cached_generate(params, self.MOE_CFG, [[1, 2, 3]], 6,
+                               temperature=0.0)
+        np.testing.assert_array_equal(out.tokens, out2.tokens)
