@@ -34,10 +34,12 @@ def main():
 
     # ~1.2B-class GQA model: INT8 weights + INT8 KV (the framework's native
     # format, BASELINE primary metric), flash prefill, fully on-device decode.
+    import os
+
     cfg = ModelConfig(vocab_size=32000, hidden_dim=2048, num_layers=16,
                       num_heads=16, num_kv_heads=4, intermediate_dim=5632,
                       max_seq_len=2048, dtype="bfloat16",
-                      attention_impl="auto")
+                      attention_impl=os.environ.get("BENCH_ATTN", "auto"))
     # batch 32: decode is weight-streaming-bound, so tokens/s/chip scales
     # with batch until the KV stream catches up (the ch03 batching lesson)
     batch, prompt_len, new_tokens = 32, 128, 128

@@ -62,14 +62,15 @@ def params_from_hf_state_dict(state: dict, cfg: ModelConfig,
 
     gate = stack("model.layers.{i}.mlp.gate_proj.weight")
     up = stack("model.layers.{i}.mlp.up_proj.weight")
+    wq = stack("model.layers.{i}.self_attn.q_proj.weight")
+    wk = stack("model.layers.{i}.self_attn.k_proj.weight")
+    wv = stack("model.layers.{i}.self_attn.v_proj.weight")
     params = {
         "embed": get("model.embed_tokens.weight"),
         "blocks": {
             "ln1": stack("model.layers.{i}.input_layernorm.weight",
                          transpose=False),
-            "wq": stack("model.layers.{i}.self_attn.q_proj.weight"),
-            "wk": stack("model.layers.{i}.self_attn.k_proj.weight"),
-            "wv": stack("model.layers.{i}.self_attn.v_proj.weight"),
+            "wqkv": np.concatenate([wq, wk, wv], axis=-1),
             "wo": stack("model.layers.{i}.self_attn.o_proj.weight"),
             "ln2": stack("model.layers.{i}.post_attention_layernorm.weight",
                          transpose=False),
@@ -82,8 +83,8 @@ def params_from_hf_state_dict(state: dict, cfg: ModelConfig,
     # shape checks against the config
     d, hd = cfg.hidden_dim, cfg.head_dim
     assert params["embed"].shape == (cfg.vocab_size, d)
-    assert params["blocks"]["wq"].shape == (L, d, cfg.num_heads * hd)
-    assert params["blocks"]["wk"].shape == (L, d, cfg.num_kv_heads * hd)
+    qkv_out = (cfg.num_heads + 2 * cfg.num_kv_heads) * hd
+    assert params["blocks"]["wqkv"].shape == (L, d, qkv_out)
     return jax.tree_util.tree_map(
         lambda x: jnp.asarray(x, dtype=dtype), params)
 

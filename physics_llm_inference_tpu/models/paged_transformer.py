@@ -57,9 +57,11 @@ def paged_decode_step(params, tokens: jnp.ndarray,
         x = carry
         bp, k_pool, v_pool = layer_in
         h = rms_norm(x, bp["ln1"], cfg.norm_eps)
-        q = _linear(h, bp["wq"]).reshape(b, 1, hq, hd)
-        k = _linear(h, bp["wk"]).reshape(b, 1, hkv, hd)
-        v = _linear(h, bp["wv"]).reshape(b, 1, hkv, hd)
+        qkv = _linear(h, bp["wqkv"])
+        q, k, v = jnp.split(qkv, [hq * hd, (hq + hkv) * hd], axis=-1)
+        q = q.reshape(b, 1, hq, hd)
+        k = k.reshape(b, 1, hkv, hd)
+        v = v.reshape(b, 1, hkv, hd)
         if cos is not None:
             q = apply_rope(q, cos, sin, positions)
             k = apply_rope(k, cos, sin, positions)
@@ -116,9 +118,11 @@ def paged_prefill_chunk(params, ids: jnp.ndarray,
         x = carry
         bp, k_pool, v_pool = layer_in
         h = rms_norm(x, bp["ln1"], cfg.norm_eps)
-        q = _linear(h, bp["wq"]).reshape(1, c, hq, hd)
-        k = _linear(h, bp["wk"]).reshape(1, c, hkv, hd)
-        v = _linear(h, bp["wv"]).reshape(1, c, hkv, hd)
+        qkv = _linear(h, bp["wqkv"])
+        q, k, v = jnp.split(qkv, [hq * hd, (hq + hkv) * hd], axis=-1)
+        q = q.reshape(1, c, hq, hd)
+        k = k.reshape(1, c, hkv, hd)
+        v = v.reshape(1, c, hkv, hd)
         if cos is not None:
             q = apply_rope(q, cos, sin, positions)
             k = apply_rope(k, cos, sin, positions)

@@ -35,7 +35,8 @@ class QuantizedTensor(NamedTuple):
         return (self.q.astype(jnp.float32) * self.s).astype(dtype)
 
 
-_QUANT_LEAVES = ("wq", "wk", "wv", "wo", "w_gate_up", "w_down")
+_QUANT_LEAVES = ("wqkv", "wo", "w_gate_up", "w_down",
+                 "moe_w1", "moe_w2", "moe_w3")
 
 
 def _quantize_stacked(w: jnp.ndarray) -> QuantizedTensor:

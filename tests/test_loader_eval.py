@@ -46,7 +46,7 @@ class TestHFMapping:
     def test_shapes_and_forward(self):
         params = params_from_hf_state_dict(_hf_state(CFG), CFG,
                                            dtype=np.float32)
-        assert params["blocks"]["wq"].shape == (2, 32, 32)
+        assert params["blocks"]["wqkv"].shape == (2, 32, 32 + 2 * 16)
         assert params["blocks"]["w_gate_up"].shape == (2, 32, 96)
         logits, _ = forward(params, jnp.zeros((1, 4), jnp.int32), CFG)
         assert logits.shape == (1, 4, 64)
@@ -56,7 +56,7 @@ class TestHFMapping:
         state = _hf_state(CFG)
         params = params_from_hf_state_dict(state, CFG, dtype=np.float32)
         np.testing.assert_allclose(
-            np.asarray(params["blocks"]["wq"][0]),
+            np.asarray(params["blocks"]["wqkv"][0][:, :32]),
             state["model.layers.0.self_attn.q_proj.weight"].T, atol=1e-6)
 
     def test_missing_key_raises(self):
@@ -84,8 +84,8 @@ class TestCheckpointRoundtrip:
         path = str(tmp_path / "ckpt8.npz")
         save_params(path, qp)
         loaded = load_params(path)
-        assert isinstance(loaded["blocks"]["wq"], QuantizedTensor)
-        assert loaded["blocks"]["wq"].q.dtype == jnp.int8
+        assert isinstance(loaded["blocks"]["wqkv"], QuantizedTensor)
+        assert loaded["blocks"]["wqkv"].q.dtype == jnp.int8
         ids = jnp.arange(8)[None, :] % 64
         a, _ = forward(qp, ids, CFG)
         b, _ = forward(loaded, ids, CFG)

@@ -65,11 +65,11 @@ class TestGSPMDTensorParallel:
         mesh = make_mesh(data=1, model=8)
         params = init_params(jax.random.PRNGKey(0), CFG)
         specs = tp_param_specs()
-        wq = jax.device_put(params["blocks"]["wq"],
+        wq = jax.device_put(params["blocks"]["wqkv"],
                             NamedSharding(mesh, specs(
                                 (jax.tree_util.DictKey("blocks"),
-                                 jax.tree_util.DictKey("wq")),
-                                params["blocks"]["wq"])))
+                                 jax.tree_util.DictKey("wqkv")),
+                                params["blocks"]["wqkv"])))
         # each device holds out_dim/8 of the columns
         shard = wq.addressable_shards[0]
         assert shard.data.shape[-1] == wq.shape[-1] // 8
