@@ -51,19 +51,20 @@ def _linear(x: jnp.ndarray, w) -> jnp.ndarray:
     m = x2.shape[0]
     scale = w.s.reshape(1, n)
     # Big weight tiles: decode is weight-streaming-bound, so fewer grid steps
-    # with ~2-4 MB weight DMAs keep HBM at full bandwidth (v5e measurement:
-    # small 256x512 tiles leave 3x on the table at batch 8).
+    # with ~2-4 MB weight DMAs keep HBM at full bandwidth. Critically, bm
+    # covers ALL of m for decode-sized batches — every extra m-block re-streams
+    # the whole weight matrix from HBM (batch 32 with bm=8 cost 4x traffic).
+    bm = m if (m <= 512 and m % 8 == 0) else _pick_block(m, (512, 256, 8))
     bk = _pick_block(k, (2048, 1024, 512, 256, 128))
     bn = _pick_block(n, (1024, 512, 256, 128))
     use_kernel = (jax.default_backend() == "tpu"
-                  and m % (_pick_block(m, (256, 8)) or m + 1) == 0
+                  and bm is not None and m % bm == 0
                   and bk is not None and bn is not None)
     if use_kernel:
         from ..kernels.int8_matmul import int8_matmul
 
         out = int8_matmul(x2, w.q, scale,
-                          block_m=_pick_block(m, (256, 8)),
-                          block_n=bn, block_k=bk,
+                          block_m=bm, block_n=bn, block_k=bk,
                           out_dtype=x.dtype)
     else:
         acc = jnp.dot(x2, w.q.astype(x.dtype),
