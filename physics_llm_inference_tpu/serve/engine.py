@@ -163,6 +163,30 @@ class InferenceEngine:
 
         return decode
 
+    def warmup(self, buckets=None) -> float:
+        """Precompile the decode step and the given (default: all) prompt
+        buckets so no live request pays first-compile latency (the TTFT
+        spike observed on cold engines). Returns seconds spent."""
+        import time as _t
+
+        t0 = _t.monotonic()
+        c = self.config
+        jax.block_until_ready(self._decode_fn(
+            self.params, self._k, self._v,
+            jnp.zeros(c.num_slots, jnp.int32),
+            jnp.zeros(c.num_slots, jnp.int32), self._split_rng(),
+            jnp.ones(c.num_slots, jnp.float32),
+            jnp.ones(c.num_slots, jnp.float32))[0])
+        for pb in (buckets or c.prompt_buckets):
+            if pb > c.max_seq_len:
+                continue
+            fn = self._prefill_cache.get(pb)
+            jax.block_until_ready(fn(
+                self.params, jnp.zeros((1, pb), jnp.int32),
+                self._k[:, :1], self._v[:, :1], jnp.int32(0), jnp.int32(1),
+                self._split_rng(), jnp.float32(0.0), jnp.float32(1.0))[0])
+        return _t.monotonic() - t0
+
     # ------------------------------------------------------------- requests
 
     def submit_request(self, req: GenerationRequest) -> str:

@@ -178,3 +178,17 @@ class TestChunkedPrefill:
         np.testing.assert_array_equal(a.tokens, b.tokens)
         # chunked path compiled the 16-bucket prefill, not the 64 one
         assert chunked._prefill_cache.stats()["compiled_shapes"] >= 1
+
+
+class TestWarmup:
+    def test_warmup_precompiles_all_buckets(self, params):
+        eng = engine(params)
+        secs = eng.warmup()
+        assert secs > 0
+        stats = eng._prefill_cache.stats()
+        assert stats["compiled_shapes"] == 3  # (8, 16, 32)
+        # a real request now only hits caches
+        res = eng.generate(GenerationRequest(prompt_tokens=[1, 2, 3],
+                                             max_tokens=3, temperature=0.0))
+        assert len(res.tokens) == 3
+        assert eng._prefill_cache.stats()["compiled_shapes"] == 3
