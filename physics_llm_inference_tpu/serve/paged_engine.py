@@ -190,6 +190,27 @@ class PagedInferenceEngine:
             self._listeners[rid] = []
         return rid
 
+    def warmup(self, buckets=None) -> float:
+        """Precompile the paged decode step + prefill chunk buckets (kills
+        the cold-start TTFT spike)."""
+        import time as _t
+
+        t0 = _t.monotonic()
+        logits, self._k, self._v = paged_decode_step(
+            self.params, jnp.zeros(self.config.max_batch, jnp.int32),
+            self._k, self._v, jnp.asarray(self._tables),
+            jnp.asarray(self._lengths), self.cfg)
+        jax.block_until_ready(logits)
+        trash_table = jnp.full((self.config.max_blocks_per_request,),
+                               self._trash, jnp.int32)
+        for cb in (buckets or self.config.prompt_buckets):
+            fn = self._prefill_cache.get(cb)
+            logits, self._k, self._v = fn(
+                self.params, jnp.zeros((1, cb), jnp.int32), self._k, self._v,
+                trash_table, jnp.int32(0), jnp.int32(1))
+            jax.block_until_ready(logits)
+        return _t.monotonic() - t0
+
     def abort_request(self, request_id: str) -> bool:
         with self._lock:
             for r in self.scheduler.waiting:

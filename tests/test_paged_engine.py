@@ -137,3 +137,14 @@ class TestPoolPressure:
         with pytest.raises(ValueError):
             eng.submit_request(GenerationRequest(
                 prompt_tokens=list(range(60)), max_tokens=30))
+
+
+def test_paged_warmup(params):
+    eng = engine(params)
+    secs = eng.warmup()
+    assert secs > 0
+    compiled = eng._prefill_cache.stats()["compiled_shapes"]
+    res = eng.generate(GenerationRequest(prompt_tokens=[1, 2, 3],
+                                         max_tokens=3, temperature=0.0))
+    assert len(res.tokens) == 3
+    assert eng._prefill_cache.stats()["compiled_shapes"] == compiled
