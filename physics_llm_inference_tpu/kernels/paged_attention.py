@@ -25,9 +25,9 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _paged_kernel(tables_ref, lens_ref, q_ref, k_ref, v_ref, o_ref,
+def _paged_kernel(lref, tables_ref, lens_ref, q_ref, k_ref, v_ref, o_ref,
                   m_scr, l_scr, acc_scr, *, block_size, scale, num_kv_heads,
-                  group):
+                  group, stacked):
     b = pl.program_id(0)
     j = pl.program_id(1)  # kv block index within the request (sequential)
 
@@ -45,8 +45,8 @@ def _paged_kernel(tables_ref, lens_ref, q_ref, k_ref, v_ref, o_ref,
         hq = q_ref.shape[1]
         d = q_ref.shape[2]
         q = q_ref[0].astype(jnp.float32)                    # (Hq, d)
-        k = k_ref[0].astype(jnp.float32)                    # (bs, Hkv, d)
-        v = v_ref[0].astype(jnp.float32)
+        k = (k_ref[0, 0] if stacked else k_ref[0]).astype(jnp.float32)
+        v = (v_ref[0, 0] if stacked else v_ref[0]).astype(jnp.float32)
         qg = q.reshape(num_kv_heads, group, d)
         kt = k.transpose(1, 0, 2)                           # (Hkv, bs, d)
         vt = v.transpose(1, 0, 2)
@@ -81,11 +81,15 @@ def _paged_kernel(tables_ref, lens_ref, q_ref, k_ref, v_ref, o_ref,
 def paged_decode_attention(q: jnp.ndarray, k_pool: jnp.ndarray,
                            v_pool: jnp.ndarray, block_tables: jnp.ndarray,
                            context_lens: jnp.ndarray,
+                           layer: jnp.ndarray | None = None,
                            interpret: bool | None = None) -> jnp.ndarray:
     """One decode step of attention over paged KV.
 
     q: (B, Hq, d) — this step's query per request.
-    k_pool/v_pool: (num_blocks, block_size, Hkv, d) — the global block pool.
+    k_pool/v_pool: (num_blocks, block_size, Hkv, d) — the global block pool;
+      or the FULL layer stack (L, num_blocks, block_size, Hkv, d) with
+      `layer` given (lets the model's layer scan keep the pools in its carry
+      and index them here, instead of slicing a per-layer copy).
     block_tables: (B, max_blocks) int32 physical block ids per request
       (entries beyond the request's length are ignored).
     context_lens: (B,) int32 — tokens valid per request (incl. current).
@@ -94,33 +98,49 @@ def paged_decode_attention(q: jnp.ndarray, k_pool: jnp.ndarray,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, hq, d = q.shape
-    nb, bs, hkv, _ = k_pool.shape
+    stacked = k_pool.ndim == 5
+    if stacked:
+        assert layer is not None, "stacked pools need a layer index"
+        _, nb, bs, hkv, _ = k_pool.shape
+    else:
+        nb, bs, hkv, _ = k_pool.shape
     assert hq % hkv == 0
     group = hq // hkv
     max_blocks = block_tables.shape[1]
     scale = 1.0 / math.sqrt(d)
+    lidx = jnp.asarray(layer if layer is not None else 0,
+                       jnp.int32).reshape(1)
 
     kernel = functools.partial(_paged_kernel, block_size=bs, scale=scale,
-                               num_kv_heads=hkv, group=group)
+                               num_kv_heads=hkv, group=group, stacked=stacked)
 
-    def kv_index(bb, j, tables, lens):
-        # clamp dead blocks to the request's last live block → DMA elided
-        last = jnp.maximum((lens[bb] - 1) // bs, 0)
-        jj = jnp.minimum(j, last)
-        return (tables[bb, jj], 0, 0, 0)
+    if stacked:
+        def kv_index(bb, j, lref, tables, lens):
+            last = jnp.maximum((lens[bb] - 1) // bs, 0)
+            jj = jnp.minimum(j, last)
+            return (lref[0], tables[bb, jj], 0, 0, 0)
+        kv_block = (1, 1, bs, hkv, d)
+    else:
+        def kv_index(bb, j, lref, tables, lens):
+            # clamp dead blocks to the request's last live block → DMA elided
+            last = jnp.maximum((lens[bb] - 1) // bs, 0)
+            jj = jnp.minimum(j, last)
+            return (tables[bb, jj], 0, 0, 0)
+        kv_block = (1, bs, hkv, d)
 
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(b, max_blocks),
             in_specs=[
-                pl.BlockSpec((1, hq, d), lambda bb, j, tables, lens:
+                pl.BlockSpec((1, hq, d), lambda bb, j, lref, tables, lens:
                              (bb, 0, 0)),
-                pl.BlockSpec((1, bs, hkv, d), kv_index),
-                pl.BlockSpec((1, bs, hkv, d), kv_index),
+                pl.BlockSpec(kv_block, kv_index),
+                pl.BlockSpec(kv_block, kv_index),
             ],
-            out_specs=pl.BlockSpec((1, hq, d), lambda bb, j, tables, lens:
+            out_specs=pl.BlockSpec((1, hq, d),
+                                   lambda bb, j, lref, tables, lens:
                                    (bb, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((hq, 128), jnp.float32),
@@ -131,10 +151,11 @@ def paged_decode_attention(q: jnp.ndarray, k_pool: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * hq * max_blocks * bs * d,
-            bytes_accessed=k_pool.nbytes // max(1, nb // max_blocks),
+            bytes_accessed=(k_pool.nbytes + v_pool.nbytes)
+            // ((k_pool.shape[0] if stacked else 1) * max(1, nb // max_blocks)),
             transcendentals=b * hq * max_blocks * bs),
         interpret=interpret,
-    )(block_tables.astype(jnp.int32), context_lens.astype(jnp.int32),
+    )(lidx, block_tables.astype(jnp.int32), context_lens.astype(jnp.int32),
       q, k_pool, v_pool)
 
 

@@ -53,9 +53,13 @@ def paged_decode_step(params, tokens: jnp.ndarray,
     block_ids = tables[jnp.arange(b), lengths // bs]
     offsets = lengths % bs
 
+    # Pools ride the scan CARRY (one stacked buffer, in-place aliased
+    # updates); threading them through xs/ys makes XLA rebuild the whole
+    # (L, nb, bs, Hkv, hd) stack every step (same copy tax measured at
+    # ~1.3 ms/step on the dense path — models/transformer.py forward).
     def body(carry, layer_in):
-        x = carry
-        bp, k_pool, v_pool = layer_in
+        x, k_pools, v_pools = carry
+        bp, l = layer_in
         h = rms_norm(x, bp["ln1"], cfg.norm_eps)
         qkv = _linear(h, bp["wqkv"])
         q, k, v = jnp.split(qkv, [hq * hd, (hq + hkv) * hd], axis=-1)
@@ -65,21 +69,22 @@ def paged_decode_step(params, tokens: jnp.ndarray,
         if cos is not None:
             q = apply_rope(q, cos, sin, positions)
             k = apply_rope(k, cos, sin, positions)
-        k_pool = k_pool.at[block_ids, offsets].set(
-            k[:, 0].astype(k_pool.dtype))
-        v_pool = v_pool.at[block_ids, offsets].set(
-            v[:, 0].astype(v_pool.dtype))
-        attn = paged_decode_attention(q[:, 0], k_pool, v_pool, tables,
-                                      lengths + 1)
+        k_pools = k_pools.at[l, block_ids, offsets].set(
+            k[:, 0].astype(k_pools.dtype))
+        v_pools = v_pools.at[l, block_ids, offsets].set(
+            v[:, 0].astype(v_pools.dtype))
+        attn = paged_decode_attention(q[:, 0], k_pools, v_pools, tables,
+                                      lengths + 1, layer=l)
         x = x + _linear(attn.reshape(b, 1, hq * hd), bp["wo"])
         h = rms_norm(x, bp["ln2"], cfg.norm_eps)
         gu = _linear(h, bp["w_gate_up"])
         gate, up = jnp.split(gu, 2, axis=-1)
         x = x + _linear(jax.nn.silu(gate) * up, bp["w_down"])
-        return x, (k_pool, v_pool)
+        return (x, k_pools, v_pools), None
 
-    x, (k_pools, v_pools) = lax.scan(
-        body, x, (params["blocks"], k_pools, v_pools))
+    (x, k_pools, v_pools), _ = lax.scan(
+        body, (x, k_pools, v_pools),
+        (params["blocks"], jnp.arange(cfg.num_layers)))
     x = rms_norm(x, params["norm"], cfg.norm_eps)
     logits = _linear(x, params["lm_head"]).astype(jnp.float32)
     return logits[:, 0], k_pools, v_pools
@@ -114,9 +119,11 @@ def paged_prefill_chunk(params, ids: jnp.ndarray,
     nb = k_pools.shape[1]
     blk = jnp.where(jnp.arange(c) < nvalid, blk, nb)  # drop padding writes
 
+    # Pools in the scan carry for the same in-place-aliasing reason as the
+    # decode step above.
     def body(carry, layer_in):
-        x = carry
-        bp, k_pool, v_pool = layer_in
+        x, k_pools, v_pools = carry
+        bp, l = layer_in
         h = rms_norm(x, bp["ln1"], cfg.norm_eps)
         qkv = _linear(h, bp["wqkv"])
         q, k, v = jnp.split(qkv, [hq * hd, (hq + hkv) * hd], axis=-1)
@@ -126,12 +133,14 @@ def paged_prefill_chunk(params, ids: jnp.ndarray,
         if cos is not None:
             q = apply_rope(q, cos, sin, positions)
             k = apply_rope(k, cos, sin, positions)
-        k_pool = k_pool.at[blk, off].set(k[0].astype(k_pool.dtype),
-                                         mode="drop")
-        v_pool = v_pool.at[blk, off].set(v[0].astype(v_pool.dtype),
-                                         mode="drop")
+        k_pools = k_pools.at[l, blk, off].set(k[0].astype(k_pools.dtype),
+                                              mode="drop")
+        v_pools = v_pools.at[l, blk, off].set(v[0].astype(v_pools.dtype),
+                                              mode="drop")
         # gather the request's whole (padded) KV range contiguously:
         # (max_blocks·bs, Hkv, hd) — includes the chunk just written
+        k_pool = lax.dynamic_index_in_dim(k_pools, l, 0, keepdims=False)
+        v_pool = lax.dynamic_index_in_dim(v_pools, l, 0, keepdims=False)
         k_seq = k_pool[table].reshape(1, prefix_cap, hkv, hd)
         v_seq = v_pool[table].reshape(1, prefix_cap, hkv, hd)
         attn = flash_attention(
@@ -145,10 +154,11 @@ def paged_prefill_chunk(params, ids: jnp.ndarray,
         gu = _linear(h, bp["w_gate_up"])
         gate, up = jnp.split(gu, 2, axis=-1)
         x = x + _linear(jax.nn.silu(gate) * up, bp["w_down"])
-        return x, (k_pool, v_pool)
+        return (x, k_pools, v_pools), None
 
-    x, (k_pools, v_pools) = lax.scan(
-        body, x, (params["blocks"], k_pools, v_pools))
+    (x, k_pools, v_pools), _ = lax.scan(
+        body, (x, k_pools, v_pools),
+        (params["blocks"], jnp.arange(cfg.num_layers)))
     x = rms_norm(x, params["norm"], cfg.norm_eps)
     logits = _linear(x, params["lm_head"]).astype(jnp.float32)
     return logits[0, nvalid - 1][None, :], k_pools, v_pools

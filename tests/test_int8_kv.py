@@ -87,3 +87,32 @@ class TestFlashModelPath:
         d = cached_generate(params, CFG, prompts, 6, temperature=0.0)
         f = cached_generate(params, self.FLASH, prompts, 6, temperature=0.0)
         np.testing.assert_array_equal(d.tokens, f.tokens)
+
+
+class TestStackedLayerKernel:
+    """The (L, B, S, Hkv, d) + traced-layer kernel form (cache in the model's
+    layer-scan carry) must match the per-layer slice form exactly."""
+
+    def test_stacked_matches_sliced(self):
+        from physics_llm_inference_tpu.kernels.int8_kv_attention import (
+            int8_kv_decode_attention)
+        rng = np.random.default_rng(0)
+        L, B, S, hq, hkv, d = 3, 2, 64, 4, 2, 64
+        q = jnp.asarray(rng.normal(0, 1, (B, hq, d)), jnp.float32)
+        kq = jnp.asarray(rng.integers(-127, 128, (L, B, S, hkv, d)), jnp.int8)
+        vq = jnp.asarray(rng.integers(-127, 128, (L, B, S, hkv, d)), jnp.int8)
+        ks = jnp.asarray(rng.uniform(0.01, 0.02, (L, B, S, hkv, 1)),
+                         jnp.float32)
+        vs = jnp.asarray(rng.uniform(0.01, 0.02, (L, B, S, hkv, 1)),
+                         jnp.float32)
+        qslot = jnp.asarray([40, 7], jnp.int32)
+        vfrom = jnp.asarray([0, 2], jnp.int32)
+        for l in range(L):
+            stacked = int8_kv_decode_attention(
+                q, kq, ks, vq, vs, q_slot=qslot, valid_from=vfrom,
+                layer=jnp.int32(l))
+            sliced = int8_kv_decode_attention(
+                q, kq[l], ks[l], vq[l], vs[l], q_slot=qslot,
+                valid_from=vfrom)
+            np.testing.assert_array_equal(np.asarray(stacked),
+                                          np.asarray(sliced))

@@ -164,3 +164,45 @@ class TestInt8KVDecodeKernel:
         logits, kv = forward(params, ids, cfg, kv=cache.as_slice())
         logits2, _ = forward(params, jnp.asarray([[7]]), cfg, kv=kv)
         assert logits2.shape == (1, 1, 100)
+
+
+class TestStackedLayerPools:
+    """The (L, nb, bs, Hkv, d) + traced-layer form used when the model keeps
+    the pools in its layer-scan carry must match per-layer slicing exactly."""
+
+    def test_stacked_matches_sliced_every_layer(self):
+        rng = np.random.default_rng(3)
+        L, NB, B, hq, hkv, d, maxb = 3, 24, 2, 4, 2, 64, 4
+        kp = jnp.asarray(rng.normal(0, 1, (L, NB, BS, hkv, d)), jnp.float32)
+        vp = jnp.asarray(rng.normal(0, 1, (L, NB, BS, hkv, d)), jnp.float32)
+        q = jnp.asarray(rng.normal(0, 1, (B, hq, d)), jnp.float32)
+        tables = jnp.asarray(
+            rng.permutation(NB)[:B * maxb].reshape(B, maxb), jnp.int32)
+        lens = jnp.asarray([50, 17], jnp.int32)
+        for l in range(L):
+            stacked = paged_decode_attention(q, kp, vp, tables, lens,
+                                             layer=jnp.int32(l))
+            sliced = paged_decode_attention(q, kp[l], vp[l], tables, lens)
+            np.testing.assert_array_equal(np.asarray(stacked),
+                                          np.asarray(sliced))
+
+    def test_stacked_under_scan_carry(self):
+        """Traced layer index coming from a lax.scan carry (the model's
+        actual usage)."""
+        rng = np.random.default_rng(4)
+        L, NB, B, hq, hkv, d, maxb = 2, 16, 1, 4, 2, 64, 2
+        kp = jnp.asarray(rng.normal(0, 1, (L, NB, BS, hkv, d)), jnp.float32)
+        vp = jnp.asarray(rng.normal(0, 1, (L, NB, BS, hkv, d)), jnp.float32)
+        q = jnp.asarray(rng.normal(0, 1, (B, hq, d)), jnp.float32)
+        tables = jnp.asarray([[1, 2]], jnp.int32)
+        lens = jnp.asarray([20], jnp.int32)
+
+        def body(carry, l):
+            return carry, paged_decode_attention(q, kp, vp, tables, lens,
+                                                 layer=l)
+
+        _, outs = jax.lax.scan(body, 0, jnp.arange(L))
+        for l in range(L):
+            ref = paged_decode_attention(q, kp[l], vp[l], tables, lens)
+            np.testing.assert_array_equal(np.asarray(outs[l]),
+                                          np.asarray(ref))
