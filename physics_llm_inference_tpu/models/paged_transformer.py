@@ -23,7 +23,7 @@ from ..kernels.paged_attention import paged_decode_attention
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, rope_frequencies
 from .config import ModelConfig
-from .transformer import _linear
+from .transformer import _linear, layer_view
 
 
 def _rope_tables(cfg: ModelConfig):
@@ -57,9 +57,9 @@ def paged_decode_step(params, tokens: jnp.ndarray,
     # updates); threading them through xs/ys makes XLA rebuild the whole
     # (L, nb, bs, Hkv, hd) stack every step (same copy tax measured at
     # ~1.3 ms/step on the dense path — models/transformer.py forward).
-    def body(carry, layer_in):
+    def body(carry, l):
         x, k_pools, v_pools = carry
-        bp, l = layer_in
+        bp = layer_view(params["blocks"], l)
         h = rms_norm(x, bp["ln1"], cfg.norm_eps)
         qkv = _linear(h, bp["wqkv"])
         q, k, v = jnp.split(qkv, [hq * hd, (hq + hkv) * hd], axis=-1)
@@ -83,8 +83,7 @@ def paged_decode_step(params, tokens: jnp.ndarray,
         return (x, k_pools, v_pools), None
 
     (x, k_pools, v_pools), _ = lax.scan(
-        body, (x, k_pools, v_pools),
-        (params["blocks"], jnp.arange(cfg.num_layers)))
+        body, (x, k_pools, v_pools), jnp.arange(cfg.num_layers))
     x = rms_norm(x, params["norm"], cfg.norm_eps)
     logits = _linear(x, params["lm_head"]).astype(jnp.float32)
     return logits[:, 0], k_pools, v_pools
@@ -121,9 +120,9 @@ def paged_prefill_chunk(params, ids: jnp.ndarray,
 
     # Pools in the scan carry for the same in-place-aliasing reason as the
     # decode step above.
-    def body(carry, layer_in):
+    def body(carry, l):
         x, k_pools, v_pools = carry
-        bp, l = layer_in
+        bp = layer_view(params["blocks"], l)
         h = rms_norm(x, bp["ln1"], cfg.norm_eps)
         qkv = _linear(h, bp["wqkv"])
         q, k, v = jnp.split(qkv, [hq * hd, (hq + hkv) * hd], axis=-1)
@@ -157,8 +156,7 @@ def paged_prefill_chunk(params, ids: jnp.ndarray,
         return (x, k_pools, v_pools), None
 
     (x, k_pools, v_pools), _ = lax.scan(
-        body, (x, k_pools, v_pools),
-        (params["blocks"], jnp.arange(cfg.num_layers)))
+        body, (x, k_pools, v_pools), jnp.arange(cfg.num_layers))
     x = rms_norm(x, params["norm"], cfg.norm_eps)
     logits = _linear(x, params["lm_head"]).astype(jnp.float32)
     return logits[0, nvalid - 1][None, :], k_pools, v_pools

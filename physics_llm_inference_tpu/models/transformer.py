@@ -38,18 +38,63 @@ def _pick_block(dim: int, candidates=(512, 256, 128, 8)) -> int | None:
     return dim if dim <= 8 else None
 
 
+class StackedQuant(NamedTuple):
+    """A layer's view into FULL-stack quantized weights (L, K, N)/(L, 1, N).
+
+    Handed to _linear instead of a sliced per-layer QuantizedTensor so the
+    int8_matmul kernel can index the layer in its DMA descriptor. Scanning
+    stacked weights through lax.scan xs instead makes XLA dynamic-slice
+    (HBM-copy) every layer's weights each step — measured ~1.07 ms/step on
+    the 0.85B decode bench, as much as the entire weight-streaming floor."""
+
+    w: Any               # QuantizedTensor with stacked leaves
+    layer: jnp.ndarray   # traced int32 scalar
+
+
+def layer_view(blocks: dict, l: jnp.ndarray) -> dict:
+    """One layer's parameter view for a lax.scan body where only the layer
+    INDEX rides xs. Quantized matmul weights become StackedQuant (the int8
+    kernel indexes the layer inside its DMA descriptors — no copy); small
+    leaves (norm scales) and non-2D quantized stacks (MoE experts) are
+    dynamic-sliced, exactly what scanning them as xs would do."""
+    from .quant import QuantizedTensor
+
+    bp = {}
+    for name, w in blocks.items():
+        if isinstance(w, QuantizedTensor) and w.q.ndim == 3:
+            bp[name] = StackedQuant(w, l)
+        elif isinstance(w, QuantizedTensor):
+            bp[name] = QuantizedTensor(
+                lax.dynamic_index_in_dim(w.q, l, 0, keepdims=False),
+                lax.dynamic_index_in_dim(w.s, l, 0, keepdims=False))
+        else:
+            bp[name] = lax.dynamic_index_in_dim(w, l, 0, keepdims=False)
+    return bp
+
+
 def _linear(x: jnp.ndarray, w) -> jnp.ndarray:
     """Matmul dispatch: plain array → x @ w; QuantizedTensor → INT8 path
     (Pallas int8_matmul kernel on TPU when dims tile onto the MXU, fused
-    dequant matmul otherwise). x: (..., K); returns (..., N)."""
+    dequant matmul otherwise); StackedQuant → INT8 path with in-kernel layer
+    indexing. x: (..., K); returns (..., N)."""
     from .quant import QuantizedTensor
 
+    layer = None
+    if isinstance(w, StackedQuant):
+        layer = w.layer
+        w = w.w
     if not isinstance(w, QuantizedTensor):
+        if layer is not None:
+            w = lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
         return x @ w
-    k, n = w.q.shape
+    if layer is not None:
+        _, k, n = w.q.shape
+        w_q, scale = w.q, w.s
+    else:
+        k, n = w.q.shape
+        w_q, scale = w.q, w.s.reshape(1, n)
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
-    scale = w.s.reshape(1, n)
     # Big weight tiles: decode is weight-streaming-bound, so fewer grid steps
     # with ~2-4 MB weight DMAs keep HBM at full bandwidth. Critically, bm
     # covers ALL of m for decode-sized batches — every extra m-block re-streams
@@ -63,13 +108,16 @@ def _linear(x: jnp.ndarray, w) -> jnp.ndarray:
     if use_kernel:
         from ..kernels.int8_matmul import int8_matmul
 
-        out = int8_matmul(x2, w.q, scale,
+        out = int8_matmul(x2, w_q, scale,
                           block_m=bm, block_n=bn, block_k=bk,
-                          out_dtype=x.dtype)
+                          out_dtype=x.dtype, layer=layer)
     else:
-        acc = jnp.dot(x2, w.q.astype(x.dtype),
+        if layer is not None:
+            w_q = lax.dynamic_index_in_dim(w_q, layer, 0, keepdims=False)
+            scale = lax.dynamic_index_in_dim(scale, layer, 0, keepdims=False)
+        acc = jnp.dot(x2, w_q.astype(x.dtype),
                       preferred_element_type=jnp.float32)
-        out = (acc * scale).astype(x.dtype)
+        out = (acc * scale.reshape(1, n)).astype(x.dtype)
     return out.reshape(*x.shape[:-1], n)
 
 
@@ -367,31 +415,28 @@ def forward(
         rope_cos = rope_sin = None
 
     if kv is None:
-        def body(carry, bp):
-            out, _ = block_forward(bp, carry, cfg, rope_cos, rope_sin,
-                                   positions, slots=slots,
-                                   valid_from=valid_from)
+        def body(carry, l):
+            out, _ = block_forward(layer_view(params["blocks"], l), carry,
+                                   cfg, rope_cos, rope_sin, positions,
+                                   slots=slots, valid_from=valid_from)
             return out, None
 
-        x, _ = lax.scan(body, x, params["blocks"])
+        x, _ = lax.scan(body, x, jnp.arange(cfg.num_layers))
         new_kv = None
     else:
         # Caches ride the scan CARRY (not xs/ys): every layer's one-token
         # update aliases the buffers in place instead of rebuilding the whole
         # (L, B, S, H, hd) stack each step.
-        def body(carry, layer_in):
+        def body(carry, l):
             x, k_all, v_all = carry
-            bp, l = layer_in
             out, (k_all, v_all) = block_forward(
-                bp, x, cfg, rope_cos, rope_sin, positions,
-                kv=(k_all, v_all), start=kv.start, slots=slots,
+                layer_view(params["blocks"], l), x, cfg, rope_cos, rope_sin,
+                positions, kv=(k_all, v_all), start=kv.start, slots=slots,
                 valid_from=valid_from, layer=l)
             return (out, k_all, v_all), None
 
-        num_layers = cfg.num_layers
         (x, k_new, v_new), _ = lax.scan(
-            body, (x, kv.k, kv.v),
-            (params["blocks"], jnp.arange(num_layers)))
+            body, (x, kv.k, kv.v), jnp.arange(cfg.num_layers))
         new_kv = KVSlice(k_new, v_new, kv.start + s)
 
     if last_only:
