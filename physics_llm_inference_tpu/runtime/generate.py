@@ -162,6 +162,9 @@ def cached_generate(
     t0 = time.perf_counter()
     logits0, kv, valid_from = jax.block_until_ready(
         _prefill_jit(params, cfg, ids, lens, cache.as_slice()))
+    # On tunneled backends block_until_ready can early-ack one outstanding
+    # dispatch; only an actual value readout drains the pipe (docs/PERF.md).
+    float(logits0.reshape(-1)[0])
     prefill_s = time.perf_counter() - t0
 
     has_top_p = top_p < 1.0
@@ -178,6 +181,7 @@ def cached_generate(
         max_new_tokens, jnp.float32(temperature), top_k,
         jnp.float32(top_p), stop_array, pad_id, bool(stop_tokens),
         has_top_p))
+    int(tokens.reshape(-1)[0])  # drain the relay pipe (docs/PERF.md)
     decode_s = time.perf_counter() - t0
 
     tokens = np.array(tokens)  # writable copy (np.asarray views jax buffers read-only)
