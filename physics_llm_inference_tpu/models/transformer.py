@@ -127,10 +127,19 @@ class QuantKV(NamedTuple):
     The framework's native KV format (BASELINE north star): halves decode
     HBM traffic for the cache. Per-(token, head) absmax scales keep the
     attention error inside the 0.1-ppl budget.
+
+    Layouts are chosen for the decode kernel (kernels/int8_kv_attention.py)
+    and are NOT the logical (..., S, Hkv, hd) shape:
+    - values are stored FLAT, (..., S, Hkv·hd): with (Hkv, hd) trailing dims
+      the int8 tiling pads Hkv sublanes 8×, and reshaping per step forces a
+      full-cache relayout copy (measured ~1 ms/step on the 0.85B bench).
+    - scales are stored TRANSPOSED, (..., Hkv, S) — S on the lane axis. The
+      natural (..., S, Hkv, 1) layout puts a 1-wide lane dim in the kernel's
+      scale blocks, which Mosaic pads 128×.
     """
 
-    q: jnp.ndarray  # int8  (..., S, Hkv, hd)
-    s: jnp.ndarray  # f32   (..., S, Hkv, 1)
+    q: jnp.ndarray  # int8  (..., S, Hkv·hd)
+    s: jnp.ndarray  # f32   (..., Hkv, S)
 
 
 class KVSlice(NamedTuple):
@@ -167,11 +176,45 @@ def _cache_write(cache, new: jnp.ndarray, start: jnp.ndarray,
                 c, n[None], (layer, off, 0, 0)),
             in_axes=(1, 0, 0), out_axes=1)(buf, val, start)
 
+    def write_flat(buf, val):
+        # flat value layout (..., S, Hkv·hd): one rank lower than dense
+        val = val.astype(buf.dtype)
+        if layer is None:
+            if start.ndim == 0:
+                return lax.dynamic_update_slice(buf, val, (0, start, 0))
+            return jax.vmap(lambda c, n, off: lax.dynamic_update_slice(
+                c, n, (off, 0)))(buf, val, start)
+        if start.ndim == 0:
+            return lax.dynamic_update_slice(buf, val[None],
+                                            (layer, 0, start, 0))
+        return jax.vmap(
+            lambda c, n, off: lax.dynamic_update_slice(
+                c, n[None], (layer, off, 0)),
+            in_axes=(1, 0, 0), out_axes=1)(buf, val, start)
+
+    def write_scale(buf, val):
+        # scale layout is transposed, (..., Hkv, S): val (B, s, H, 1) →
+        # (B, H, s), written at lane offset `start`
+        val = val[..., 0].transpose(0, 2, 1).astype(buf.dtype)
+        if layer is None:
+            if start.ndim == 0:
+                return lax.dynamic_update_slice(buf, val, (0, 0, start))
+            return jax.vmap(lambda c, n, off: lax.dynamic_update_slice(
+                c, n, (0, off)))(buf, val, start)
+        if start.ndim == 0:
+            return lax.dynamic_update_slice(buf, val[None],
+                                            (layer, 0, 0, start))
+        return jax.vmap(
+            lambda c, n, off: lax.dynamic_update_slice(
+                c, n[None], (layer, 0, off)),
+            in_axes=(1, 0, 0), out_axes=1)(buf, val, start)
+
     if isinstance(cache, QuantKV):
         from ..kernels.quant import quantize_int8
 
         qv, sv = quantize_int8(new, axis=-1)
-        return QuantKV(q=write(cache.q, qv), s=write(cache.s, sv))
+        qv = qv.reshape(*qv.shape[:-2], -1)  # flat (B, s, Hkv·hd)
+        return QuantKV(q=write_flat(cache.q, qv), s=write_scale(cache.s, sv))
     return write(cache, new)
 
 
@@ -181,7 +224,11 @@ def _cache_read_layer(cache, layer, dtype):
         return lax.dynamic_index_in_dim(buf, layer, 0, keepdims=False)
 
     if isinstance(cache, QuantKV):
-        return (idx(cache.q).astype(jnp.float32) * idx(cache.s)).astype(dtype)
+        s = idx(cache.s).transpose(0, 2, 1)[..., None]  # (B, S, Hkv, 1)
+        q = idx(cache.q)                                # (B, S, Hkv·hd)
+        hkv = s.shape[2]
+        q = q.reshape(*q.shape[:-1], hkv, -1)
+        return (q.astype(jnp.float32) * s).astype(dtype)
     return idx(cache).astype(dtype)
 
 
@@ -189,7 +236,12 @@ def _cache_read(cache, dtype) -> jnp.ndarray:
     """Materialize the cache for attention in the compute dtype (dequantizes
     QuantKV; XLA fuses the dequant into the attention matmuls)."""
     if isinstance(cache, QuantKV):
-        return (cache.q.astype(jnp.float32) * cache.s).astype(dtype)
+        perm = tuple(range(cache.s.ndim - 2)) + (cache.s.ndim - 1,
+                                                 cache.s.ndim - 2)
+        s = cache.s.transpose(perm)[..., None]  # (..., S, Hkv, 1)
+        hkv = s.shape[-2]
+        q = cache.q.reshape(*cache.q.shape[:-1], hkv, -1)
+        return (q.astype(jnp.float32) * s).astype(dtype)
     return cache.astype(dtype)
 
 

@@ -159,13 +159,14 @@ def cached_generate(
     b, p = ids.shape
     cache = KVCache.create(cfg, b, p + max_new_tokens, dtype=kv_dtype)
 
-    t0 = time.perf_counter()
-    logits0, kv, valid_from = jax.block_until_ready(
-        _prefill_jit(params, cfg, ids, lens, cache.as_slice()))
     # On tunneled backends block_until_ready can early-ack one outstanding
-    # dispatch; only an actual value readout drains the pipe (docs/PERF.md).
-    float(logits0.reshape(-1)[0])
-    prefill_s = time.perf_counter() - t0
+    # dispatch; only a value readout drains the pipe — and that readout has
+    # a fixed ~25 ms relay cost which readout_timed calibrates out
+    # (docs/PERF.md, utils/timing.py).
+    from ..utils.timing import readout_timed
+
+    (logits0, kv, valid_from), prefill_s = readout_timed(
+        lambda: _prefill_jit(params, cfg, ids, lens, cache.as_slice()))
 
     has_top_p = top_p < 1.0
     rng, sub = jax.random.split(rng)
@@ -175,14 +176,11 @@ def cached_generate(
 
     stop_array = jnp.asarray(stop_tokens, dtype=jnp.int32) if stop_tokens \
         else jnp.zeros((1,), jnp.int32)
-    t0 = time.perf_counter()
-    tokens, _ = jax.block_until_ready(_decode_jit(
+    (tokens, _), decode_s = readout_timed(lambda: _decode_jit(
         params, cfg, kv, first, lens, valid_from, rng,
         max_new_tokens, jnp.float32(temperature), top_k,
         jnp.float32(top_p), stop_array, pad_id, bool(stop_tokens),
         has_top_p))
-    int(tokens.reshape(-1)[0])  # drain the relay pipe (docs/PERF.md)
-    decode_s = time.perf_counter() - t0
 
     tokens = np.array(tokens)  # writable copy (np.asarray views jax buffers read-only)
     gen_lens = np.full((b,), tokens.shape[1], dtype=np.int32)

@@ -38,8 +38,12 @@ class KVCache(NamedTuple):
         shape = (cfg.num_layers, batch_size, max_seq_len, cfg.num_kv_heads,
                  cfg.head_dim)
         if dtype is not None and jnp.dtype(dtype) == jnp.int8:
-            sshape = shape[:-1] + (1,)
-            mk = lambda: QuantKV(q=jnp.zeros(shape, jnp.int8),
+            # flat values + transposed scales — see QuantKV docstring
+            qshape = (cfg.num_layers, batch_size, max_seq_len,
+                      cfg.num_kv_heads * cfg.head_dim)
+            sshape = (cfg.num_layers, batch_size, cfg.num_kv_heads,
+                      max_seq_len)
+            mk = lambda: QuantKV(q=jnp.zeros(qshape, jnp.int8),
                                  s=jnp.zeros(sshape, jnp.float32))
             return cls(k=mk(), v=mk(), length=jnp.int32(0))
         dtype = dtype or jnp.dtype(cfg.dtype)

@@ -99,11 +99,13 @@ class TestStackedLayerKernel:
         rng = np.random.default_rng(0)
         L, B, S, hq, hkv, d = 3, 2, 64, 4, 2, 64
         q = jnp.asarray(rng.normal(0, 1, (B, hq, d)), jnp.float32)
-        kq = jnp.asarray(rng.integers(-127, 128, (L, B, S, hkv, d)), jnp.int8)
-        vq = jnp.asarray(rng.integers(-127, 128, (L, B, S, hkv, d)), jnp.int8)
-        ks = jnp.asarray(rng.uniform(0.01, 0.02, (L, B, S, hkv, 1)),
+        kq = jnp.asarray(rng.integers(-127, 128, (L, B, S, hkv * d)),
+                         jnp.int8)
+        vq = jnp.asarray(rng.integers(-127, 128, (L, B, S, hkv * d)),
+                         jnp.int8)
+        ks = jnp.asarray(rng.uniform(0.01, 0.02, (L, B, hkv, S)),
                          jnp.float32)
-        vs = jnp.asarray(rng.uniform(0.01, 0.02, (L, B, S, hkv, 1)),
+        vs = jnp.asarray(rng.uniform(0.01, 0.02, (L, B, hkv, S)),
                          jnp.float32)
         qslot = jnp.asarray([40, 7], jnp.int32)
         vfrom = jnp.asarray([0, 2], jnp.int32)
