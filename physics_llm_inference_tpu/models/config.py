@@ -32,6 +32,14 @@ class ModelConfig:
     # requires the affine slot layouts all runtime paths use), or "auto"
     # (flash for prefill-shaped calls on TPU, dense otherwise).
     attention_impl: str = "auto"
+    # Unroll the layer loop for decode-shaped (s == 1) cached calls. A
+    # lax.scan iteration carrying the KV cache costs ~20-40 µs of buffer
+    # bookkeeping on top of the layer's real work (measured on v5e,
+    # docs/PERF.md) — at decode sizes that is a meaningful slice of the
+    # ~1 ms/layer-stack budget. Unrolling trades HLO size (L× the block
+    # body) for zero loop overhead. Prefill keeps the scan (block body is
+    # big there; loop overhead is noise).
+    decode_unroll: bool = True
     # MoE: num_experts > 0 replaces every block's dense SwiGLU with a routed
     # mixture (models/moe.py; ref ch09/moe_layer.py). intermediate_dim is the
     # per-expert FFN width.

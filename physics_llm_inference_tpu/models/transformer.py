@@ -487,8 +487,16 @@ def forward(
                 valid_from=valid_from, layer=l)
             return (out, k_all, v_all), None
 
-        (x, k_new, v_new), _ = lax.scan(
-            body, (x, kv.k, kv.v), jnp.arange(cfg.num_layers))
+        if s == 1 and cfg.decode_unroll:
+            # decode: unrolled layer loop with concrete layer indices —
+            # scan-iteration carry bookkeeping costs ~20-40 µs/layer here
+            carry = (x, kv.k, kv.v)
+            for l in range(cfg.num_layers):
+                carry, _ = body(carry, l)
+            x, k_new, v_new = carry
+        else:
+            (x, k_new, v_new), _ = lax.scan(
+                body, (x, kv.k, kv.v), jnp.arange(cfg.num_layers))
         new_kv = KVSlice(k_new, v_new, kv.start + s)
 
     if last_only:
