@@ -40,9 +40,11 @@ def main():
                       num_heads=16, num_kv_heads=4, intermediate_dim=5632,
                       max_seq_len=2048, dtype="bfloat16",
                       attention_impl=os.environ.get("BENCH_ATTN", "auto"))
-    # batch 32: decode is weight-streaming-bound, so tokens/s/chip scales
-    # with batch until the KV stream catches up (the ch03 batching lesson)
-    batch, prompt_len, new_tokens = 32, 128, 128
+    # batch: decode is weight-streaming-bound, so tokens/s/chip scales with
+    # batch until the KV stream + MXU row occupancy catch up (the ch03
+    # batching lesson); 64 also fills half the MXU's 128 rows vs 32's quarter
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    prompt_len, new_tokens = 128, 128
 
     log(f"devices: {jax.devices()}")
     log(f"model: {cfg.param_count()/1e9:.2f}B params INT8 W+KV, "

@@ -104,7 +104,8 @@ def attribute_decode(cfg=None, batch: int = 32, cache_len: int = 256,
             x = x + _linear(gu[:, :f], bp["w_down"])
             return x, None
 
-        x, _ = lax.scan(body, x, jnp.arange(L))
+        for l in range(L):  # unrolled, mirroring ModelConfig.decode_unroll
+            x, _ = body(x, l)
         y = _linear(x, params["lm_head"])
         x = x + y[:, :d].astype(dt) * 1e-6  # keep lm_head live
         # renormalize once per step: unbounded matmul chains hit bf16 inf/NaN
@@ -132,7 +133,8 @@ def attribute_decode(cfg=None, batch: int = 32, cache_len: int = 256,
                                          layer=l)
             return o.astype(q.dtype), None
 
-        q, _ = lax.scan(body, q, jnp.arange(L))
+        for l in range(L):  # unrolled, mirroring ModelConfig.decode_unroll
+            q, _ = body(q, l)
         return q, None
 
     t_attn = _time_scan(attn_step, q0, steps, consts=(kq, ks, vq, vs))
@@ -170,7 +172,10 @@ def attribute_decode(cfg=None, batch: int = 32, cache_len: int = 256,
             x = x + (jax.nn.silu(gate) * gate)[:, :d]
             return (x, kc, kcs), None
 
-        (x, kc, kc_s2), _ = lax.scan(body, (x, kc, kc_s), jnp.arange(L))
+        carry = (x, kc, kc_s)
+        for l in range(L):  # unrolled, mirroring ModelConfig.decode_unroll
+            carry, _ = body(carry, l)
+        (x, kc, kc_s2) = carry
         logits = jnp.broadcast_to(x[:, :1], (B, cfg.vocab_size)).astype(
             jnp.float32)
         tok = jnp.argmax(logits, -1)
