@@ -42,8 +42,9 @@ def main():
                       attention_impl=os.environ.get("BENCH_ATTN", "auto"))
     # batch: decode is weight-streaming-bound, so tokens/s/chip scales with
     # batch until the KV stream + MXU row occupancy catch up (the ch03
-    # batching lesson); 64 also fills half the MXU's 128 rows vs 32's quarter
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    # batching lesson); 128 fills the MXU's rows exactly (measured knee:
+    # 64→30.1k, 96→44.7k, 128→49.2k tok/s with the fused decode kernel)
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     prompt_len, new_tokens = 128, 128
 
     log(f"devices: {jax.devices()}")

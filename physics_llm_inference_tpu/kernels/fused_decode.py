@@ -1,0 +1,456 @@
+"""Fused whole-model INT8 decode step — one Pallas kernel per token.
+
+The decode step of a dense INT8 W+KV transformer is memory-bound: its floor
+is (weight bytes + live KV bytes) / HBM bandwidth. Split across ~80
+pallas_call invocations per step (16 layers × 4 matmuls + attention), each
+invocation pays pipeline prologue/epilogue and XLA op boundaries — measured
+~0.3-0.6 ms/step of pure overhead on v5e (docs/PERF.md), a third of the
+whole budget. The same attention body that reaches 22% of HBM bandwidth as
+16 per-layer invocations reaches ~100% as ONE invocation whose grid covers
+all layers.
+
+So this kernel runs the ENTIRE decode step — all layers: RMSNorm → fused
+QKV matmul → RoPE → KV quantize → attention over the INT8 cache → output
+projection → RMSNorm → SwiGLU FFN — in one pallas_call with grid
+(num_layers, tiles_per_layer). Weights and KV stream through VMEM in ~1-2MB
+blocks, double-buffered by the Pallas pipeline across phase boundaries and
+layer boundaries alike; activations never leave VMEM. Per-phase tile windows
+share one grid axis; outside its window a stream's index map clamps so its
+DMA is elided.
+
+The grid's second axis t covers, per layer l:
+  [0, nq)            QKV:   qkv += h @ wqkv[:, tile]            (int8 tiles)
+  t == nq            glue:  RoPE(q,k), quantize k/v  (same step as ATTN 0)
+  [nq, nq+na)        ATTN:  per request-block flash over INT8 KV + current
+  [nq+na, +nwo)      WO:    x += attn @ wo[:, tile]
+  t == P_GU          glue:  h2 = RMSNorm(x)·ln2      (same step as GU 0)
+  [P_GU, +ngu)       GU:    gu[tile] = h2 @ w_gate_up[:, tile]
+  t == P_DN          glue:  ff = silu(gate)·up       (same step as DOWN 0)
+  [P_DN, +ndn)       DOWN:  x += ff[ktile] @ w_down[ktile, :]
+
+Attention takes the current token's K/V from VMEM (dequantized from the same
+int8+scale values the cache will hold, so numerics match the write-then-read
+path exactly). The new K/V reach the cache one of two ways:
+
+- `slot` given (uniform write slot — the generate path, where left-padding
+  aligns all requests): the cache buffers are ALIASED input→output and the
+  kernel writes the updated slot window in place — an 8-slot int8 window and
+  the scale lane-plane per request block, composed from the (pre-update)
+  input block. The caller's decode scan then carries the cache with zero
+  copies (an XLA-side dynamic_update_slice after the kernel measured
+  ~0.27 ms/step of copy on the 0.85B bench; this path makes it free).
+- per-request slots: new K/V are RETURNED (L, B, Hkv·hd) and the caller
+  scatters them (models/transformer.py _scatter_new_kv).
+
+Cache layouts are the QuantKV native ones (flat int8 values, transposed
+scales — models/transformer.py). Reference capability: this kernel replaces
+the per-op CUDA-graph replay of ref ch08/cuda_graph.py:18-82 with something
+stronger — a single compiled unit for the whole step.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+INT8_MAX = 127.0
+
+
+def _rms(x_f32, w_row, eps):
+    ms = jnp.mean(x_f32 * x_f32, axis=-1, keepdims=True)
+    return x_f32 * lax.rsqrt(ms + eps) * w_row.astype(jnp.float32)
+
+
+def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
+            swo_ref, wgu_ref, sgu_ref, wdn_ref, sdn_ref, kq_ref, ks_ref,
+            vq_ref, vs_ref, cos_ref, sin_ref, qslot_ref, vfrom_ref,
+            xout_ref, ko1_ref, ko2_ref, vo1_ref, vo2_ref,
+            x_scr, h_scr, qkv_scr, q_scr, kcur_scr, vcur_scr, attn_scr,
+            gu_scr, k8_scr, v8_scr, kscl_scr, vscl_scr,
+            *, cfgk):
+    (L, B, S, D, F, HQ, HKV, HD, QO, TN, TK, RB, nq, na, nwo, ngu, ndn,
+     eps, write_cache) = cfgk
+    l = pl.program_id(0)
+    t = pl.program_id(1)
+    P_ATTN, P_WO = nq, nq + na
+    P_GU, P_DN = P_WO + nwo, P_WO + nwo + ngu
+    group = HQ // HKV
+    hd2 = HD // 2
+    sm_scale = 1.0 / math.sqrt(HD)
+
+    @pl.when((l == 0) & (t == 0))
+    def _():
+        x_scr[:] = x0_ref[...].astype(jnp.float32)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = _rms(x_scr[...], ln1_ref[0], eps).astype(h_scr.dtype)
+
+    # ---- QKV: qkv[:, j·TN:(j+1)·TN] = h @ wqkv_tile · scale ----
+    @pl.when(t < nq)
+    def _():
+        j = t
+        acc = lax.dot_general(h_scr[...], wqkv_ref[0],
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        qkv_scr[:, pl.ds(j * TN, TN)] = (acc * sqkv_ref[0]).astype(
+            qkv_scr.dtype)
+
+    # ---- glue: RoPE + KV quantize, folded into the first ATTN step ----
+    @pl.when(t == P_ATTN)
+    def _():
+        cos = cos_ref[...].astype(jnp.float32)[:, None, :]  # (B, 1, hd/2)
+        sin = sin_ref[...].astype(jnp.float32)[:, None, :]
+
+        def rope(flat, heads):
+            x3 = flat.astype(jnp.float32).reshape(B, heads, HD)
+            x1, x2 = x3[..., :hd2], x3[..., hd2:]
+            return jnp.concatenate([x1 * cos - x2 * sin,
+                                    x2 * cos + x1 * sin], axis=-1)
+
+        def quant(x3):  # per-head absmax over hd, matching quantize_int8
+            amax = jnp.max(jnp.abs(x3), axis=-1, keepdims=True)
+            s = jnp.maximum(amax, 1e-8) / INT8_MAX
+            q = jnp.clip(jnp.round(x3 / s), -127, 127).astype(jnp.int8)
+            return q, s
+
+        q = rope(qkv_scr[:, :HQ * HD], HQ)
+        # the unfused path rounds rope output to bf16 (ops/rope.py returns
+        # the input dtype) before quantizing — match it bit-exactly
+        k = rope(qkv_scr[:, HQ * HD:(HQ + HKV) * HD],
+                 HKV).astype(jnp.bfloat16).astype(jnp.float32)
+        v = qkv_scr[:, (HQ + HKV) * HD:].astype(jnp.float32).reshape(
+            B, HKV, HD)
+        q_scr[:] = q.reshape(B, HQ * HD).astype(q_scr.dtype)
+        kq8, ksc = quant(k)
+        vq8, vsc = quant(v)
+        k8_scr[:] = kq8.reshape(B, HKV * HD)
+        v8_scr[:] = vq8.reshape(B, HKV * HD)
+        kscl_scr[:] = ksc[..., 0]
+        vscl_scr[:] = vsc[..., 0]
+        if not write_cache:
+            ko1_ref[0] = kq8.reshape(B, HKV * HD)
+            vo1_ref[0] = vq8.reshape(B, HKV * HD)
+            ko2_ref[0] = ksc[..., 0]
+            vo2_ref[0] = vsc[..., 0]
+        # current-token K/V for attention: dequantized from the SAME int8
+        # values the cache will hold — numerics identical to write-then-read
+        kcur_scr[:] = (kq8.astype(jnp.float32) * ksc).reshape(
+            B, HKV * HD).astype(kcur_scr.dtype)
+        vcur_scr[:] = (vq8.astype(jnp.float32) * vsc).reshape(
+            B, HKV * HD).astype(vcur_scr.dtype)
+
+    # ---- ATTN: flash over the INT8 cache + current token, RB requests ----
+    @pl.when((t >= P_ATTN) & (t < P_WO))
+    def _():
+        i = t - P_ATTN
+        rows = pl.ds(i * RB, RB)
+        q = q_scr[rows, :].astype(jnp.float32).reshape(RB, HQ, HD)
+        kcur = kcur_scr[rows, :].astype(jnp.float32).reshape(RB, HKV, HD)
+        vcur = vcur_scr[rows, :].astype(jnp.float32).reshape(RB, HKV, HD)
+        kq = kq_ref[0]                       # (RB, S, HKV·HD) int8
+        vq = vq_ref[0]
+        ks = ks_ref[0]                       # (RB, HKV, S) f32
+        vs = vs_ref[0]
+        qslot = qslot_ref[rows, :]                        # (RB, 1)
+        vfrom = vfrom_ref[rows, :]
+        kpos = lax.broadcasted_iota(jnp.int32, (RB, 1, S), 2)
+        # cache holds tokens strictly BEFORE the current slot
+        mask = (kpos < qslot[:, :, None]) & (kpos >= vfrom[:, :, None])
+
+        s_parts, cur_parts = [], []
+        for h in range(HKV):
+            kh = kq[:, :, h * HD:(h + 1) * HD].astype(jnp.bfloat16)
+            qh = q[:, h * group:(h + 1) * group, :].astype(jnp.bfloat16)
+            sh = lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+            s_parts.append(sh * (ks[:, h, :][:, None, :] * sm_scale))
+            # current-token score: (RB, g, 1)
+            kc_h = kcur[:, h, :][:, None, :]
+            cur = jnp.sum(q[:, h * group:(h + 1) * group, :] * kc_h,
+                          axis=-1, keepdims=True)
+            cur_parts.append(cur * sm_scale)
+        s = jnp.concatenate(s_parts, axis=1)              # (RB, HQ, S)
+        s = jnp.where(mask, s, _NEG_INF)
+        s_cur = jnp.concatenate(cur_parts, axis=1)        # (RB, HQ, 1)
+
+        m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_cur)
+        p = jnp.exp(s - m)                                # (RB, HQ, S)
+        p_cur = jnp.exp(s_cur - m)
+        denom = jnp.sum(p, -1, keepdims=True) + p_cur
+        o_parts = []
+        for h in range(HKV):
+            vh = vq[:, :, h * HD:(h + 1) * HD].astype(jnp.bfloat16)
+            ph = (p[:, h * group:(h + 1) * group, :]
+                  * vs[:, h, :][:, None, :]).astype(jnp.bfloat16)
+            pv = lax.dot_general(ph, vh, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+            vc_h = vcur[:, h, :][:, None, :]
+            pv = pv + (p_cur[:, h * group:(h + 1) * group, :] * vc_h)
+            o_parts.append(pv)
+        o = jnp.concatenate(o_parts, axis=1) / denom       # (RB, HQ, HD)
+        attn_scr[rows, :] = o.reshape(RB, HQ * HD).astype(attn_scr.dtype)
+
+        if write_cache:
+            # write the current token into the cache IN PLACE (the cache
+            # buffers are aliased input→output): an 8-slot int8 window and
+            # the scale lane-plane, composed from the pre-update input block
+            slot = slot_ref[0]
+            base = (slot // 8) * 8
+            win_k = kq_ref[0, :, pl.ds(base, 8), :]       # (RB, 8, HKV·HD)
+            win_v = vq_ref[0, :, pl.ds(base, 8), :]
+            sel = (lax.broadcasted_iota(jnp.int32, (RB, 8, 1), 1) + base
+                   == slot)
+            k8 = k8_scr[rows, :][:, None, :]              # (RB, 1, HKV·HD)
+            v8 = v8_scr[rows, :][:, None, :]
+            ko1_ref[0] = jnp.where(sel, k8, win_k)
+            vo1_ref[0] = jnp.where(sel, v8, win_v)
+            lane = lax.broadcasted_iota(jnp.int32, (RB, HKV, S), 2)
+            ksl = kscl_scr[rows, :][:, :, None]           # (RB, HKV, 1)
+            vsl = vscl_scr[rows, :][:, :, None]
+            ko2_ref[0] = jnp.where(lane == slot, ksl, ks)
+            vo2_ref[0] = jnp.where(lane == slot, vsl, vs)
+
+    # ---- WO: x[:, tile] += attn @ wo_tile · scale ----
+    @pl.when((t >= P_WO) & (t < P_GU))
+    def _():
+        j = t - P_WO
+        acc = lax.dot_general(attn_scr[...], wo_ref[0],
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        x_scr[:, pl.ds(j * TN, TN)] += acc * swo_ref[0]
+
+    @pl.when(t == P_GU)
+    def _():
+        h_scr[:] = _rms(x_scr[...], ln2_ref[0], eps).astype(h_scr.dtype)
+
+    # ---- GU: gu[:, tile] = h2 @ w_gate_up_tile · scale ----
+    @pl.when((t >= P_GU) & (t < P_DN))
+    def _():
+        j = t - P_GU
+        acc = lax.dot_general(h_scr[...], wgu_ref[0],
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        gu_scr[:, pl.ds(j * TN, TN)] = (acc * sgu_ref[0]).astype(
+            gu_scr.dtype)
+
+    @pl.when(t == P_DN)
+    def _():
+        gate = gu_scr[:, :F].astype(jnp.float32)
+        up = gu_scr[:, F:].astype(jnp.float32)
+        ff = jax.nn.silu(gate) * up
+        # reuse the gate half of gu_scr as the ff buffer
+        gu_scr[:, :F] = ff.astype(gu_scr.dtype)
+
+    # ---- DOWN: x += ff[:, ktile] @ w_down_tile · scale ----
+    @pl.when(t >= P_DN)
+    def _():
+        j = t - P_DN
+        ff = gu_scr[:, pl.ds(j * TK, TK)]
+        acc = lax.dot_general(ff, wdn_ref[0], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        x_scr[:] += acc * sdn_ref[0]
+
+    @pl.when((l == L - 1) & (t == P_DN + ndn - 1))
+    def _():
+        xout_ref[...] = x_scr[...].astype(xout_ref.dtype)
+
+
+def _pick_tile(dim: int, target: int) -> int:
+    for c in (target, 512, 256, 128):
+        if c <= target and dim % c == 0:
+            return c
+    return dim
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "write_cache",
+                                             "interpret"))
+def fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
+                      rope_cos_g, rope_sin_g, cfg, slot=None,
+                      write_cache: bool = False,
+                      interpret: bool | None = None):
+    """One full decode step over all layers.
+
+    params: the model's quantized "blocks" dict (stacked QuantizedTensors:
+      wqkv (L,D,QO), wo (L,Hq·hd,D), w_gate_up (L,D,2F), w_down (L,F,D),
+      ln1/ln2 (L,D)).
+    x: (B, D) current hidden states (embedded token).
+    k_q/v_q: (L, B, S, Hkv·hd) int8; k_s/v_s: (L, B, Hkv, S) f32.
+    q_slot/valid_from: (B,) int32 — current cache slot / first valid slot.
+    rope_cos_g/rope_sin_g: (B, hd/2) f32 — rope tables pre-gathered at each
+      request's position.
+    slot + write_cache=True: uniform write slot (scalar int32) — the cache
+      is updated IN PLACE (aliased buffers) and returned.
+
+    Returns (x_out, k_q', k_s', v_q', v_s') with write_cache (updated cache
+    buffers), else (x_out, k_new (L,B,Hkv·hd) int8, ksc (L,B,Hkv) f32,
+    v_new, vsc) for the caller to scatter.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, D = x.shape
+    L, _, S, flat_hd = k_q.shape
+    HQ, HKV, HD = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    F = cfg.intermediate_dim
+    QO = (HQ + 2 * HKV) * HD
+    assert flat_hd == HKV * HD
+    assert (slot is not None) == write_cache
+
+    TN = _pick_tile(math.gcd(math.gcd(QO, D), 2 * F), 512)
+    TK = _pick_tile(F, 512)
+    RB = B
+    for rb in range(8, B + 1, 8):
+        if B % rb == 0 and rb * S * flat_hd >= 1 << 20:
+            RB = rb
+            break
+    nq, na, nwo = QO // TN, B // RB, D // TN
+    ngu, ndn = 2 * F // TN, F // TK
+    T = nq + na + nwo + ngu + ndn
+
+    wqkv, wo = params["wqkv"], params["wo"]
+    wgu, wdn = params["w_gate_up"], params["w_down"]
+
+    cfgk = (L, B, S, D, F, HQ, HKV, HD, QO, TN, TK, RB, nq, na, nwo, ngu,
+            ndn, cfg.norm_eps, write_cache)
+    kernel = functools.partial(_kernel, cfgk=cfgk)
+
+    P_ATTN, P_WO = nq, nq + na
+    P_GU, P_DN = P_WO + nwo, P_WO + nwo + ngu
+
+    def win(lo, hi, maker):
+        # clamp t into [lo, hi) so out-of-window steps repeat an index
+        # (their DMA is elided)
+        return lambda l, t, sr: maker(l, jnp.clip(t - lo, 0, hi - lo - 1))
+
+    qslot2 = jnp.asarray(q_slot, jnp.int32).reshape(B, 1)
+    vfrom2 = (jnp.zeros((B, 1), jnp.int32) if valid_from is None
+              else jnp.asarray(valid_from, jnp.int32).reshape(B, 1))
+    slot_arr = jnp.asarray(slot if slot is not None else 0,
+                           jnp.int32).reshape(1)
+
+    def attn_win(maker):
+        return win(P_ATTN, P_WO, maker)
+
+    if write_cache:
+        out_specs = [
+            pl.BlockSpec((B, D), lambda l, t, sr: (0, 0)),
+            pl.BlockSpec((1, RB, 8, flat_hd),
+                         lambda l, t, sr: (
+                             l, jnp.clip(t - P_ATTN, 0, na - 1),
+                             sr[0] // 8, 0)),
+            pl.BlockSpec((1, RB, HKV, S),
+                         lambda l, t, sr: (
+                             l, jnp.clip(t - P_ATTN, 0, na - 1), 0, 0)),
+            pl.BlockSpec((1, RB, 8, flat_hd),
+                         lambda l, t, sr: (
+                             l, jnp.clip(t - P_ATTN, 0, na - 1),
+                             sr[0] // 8, 0)),
+            pl.BlockSpec((1, RB, HKV, S),
+                         lambda l, t, sr: (
+                             l, jnp.clip(t - P_ATTN, 0, na - 1), 0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((B, D), x.dtype),
+            jax.ShapeDtypeStruct(k_q.shape, jnp.int8),
+            jax.ShapeDtypeStruct(k_s.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v_q.shape, jnp.int8),
+            jax.ShapeDtypeStruct(v_s.shape, jnp.float32),
+        ]
+        # input indices INCLUDE the scalar-prefetch slot arg: slot=0, x0=1,
+        # … kq=12 ks=13 vq=14 vs=15 → outputs 1-4: the cache updates in place
+        aliases = {12: 1, 13: 2, 14: 3, 15: 4}
+    else:
+        out_specs = [
+            pl.BlockSpec((B, D), lambda l, t, sr: (0, 0)),
+            pl.BlockSpec((1, B, HKV * HD), lambda l, t, sr: (l, 0, 0)),
+            pl.BlockSpec((1, B, HKV), lambda l, t, sr: (l, 0, 0)),
+            pl.BlockSpec((1, B, HKV * HD), lambda l, t, sr: (l, 0, 0)),
+            pl.BlockSpec((1, B, HKV), lambda l, t, sr: (l, 0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((B, D), x.dtype),
+            jax.ShapeDtypeStruct((L, B, HKV * HD), jnp.int8),
+            jax.ShapeDtypeStruct((L, B, HKV), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, HKV * HD), jnp.int8),
+            jax.ShapeDtypeStruct((L, B, HKV), jnp.float32),
+        ]
+        aliases = {}
+
+    bf = jnp.bfloat16
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(L, T),
+            in_specs=[
+                pl.BlockSpec((B, D), lambda l, t, sr: (0, 0)),          # x0
+                pl.BlockSpec((1, 1, D), lambda l, t, sr: (l, 0, 0)),    # ln1
+                pl.BlockSpec((1, 1, D), lambda l, t, sr: (l, 0, 0)),    # ln2
+                pl.BlockSpec((1, D, TN), win(0, nq,                     # wqkv
+                                             lambda l, j: (l, 0, j))),
+                pl.BlockSpec((1, 1, TN), win(0, nq,
+                                             lambda l, j: (l, 0, j))),
+                pl.BlockSpec((1, HQ * HD, TN), win(P_WO, P_GU,          # wo
+                                                   lambda l, j: (l, 0, j))),
+                pl.BlockSpec((1, 1, TN), win(P_WO, P_GU,
+                                             lambda l, j: (l, 0, j))),
+                pl.BlockSpec((1, D, TN), win(P_GU, P_DN,                # wgu
+                                             lambda l, j: (l, 0, j))),
+                pl.BlockSpec((1, 1, TN), win(P_GU, P_DN,
+                                             lambda l, j: (l, 0, j))),
+                pl.BlockSpec((1, TK, D), win(P_DN, P_DN + ndn,          # wdn
+                                             lambda l, j: (l, j, 0))),
+                pl.BlockSpec((1, 1, D), lambda l, t, sr: (l, 0, 0)),    # sdn
+                pl.BlockSpec((1, RB, S, flat_hd),                       # kq
+                             attn_win(lambda l, i: (l, i, 0, 0))),
+                pl.BlockSpec((1, RB, HKV, S),
+                             attn_win(lambda l, i: (l, i, 0, 0))),
+                pl.BlockSpec((1, RB, S, flat_hd),                       # vq
+                             attn_win(lambda l, i: (l, i, 0, 0))),
+                pl.BlockSpec((1, RB, HKV, S),
+                             attn_win(lambda l, i: (l, i, 0, 0))),
+                pl.BlockSpec((B, HD // 2), lambda l, t, sr: (0, 0)),    # cos
+                pl.BlockSpec((B, HD // 2), lambda l, t, sr: (0, 0)),    # sin
+                pl.BlockSpec((B, 1), lambda l, t, sr: (0, 0)),          # qslot
+                pl.BlockSpec((B, 1), lambda l, t, sr: (0, 0)),          # vfrom
+            ],
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((B, D), jnp.float32),        # x
+                pltpu.VMEM((B, D), bf),                 # h / h2
+                pltpu.VMEM((B, QO), bf),                # qkv
+                pltpu.VMEM((B, HQ * HD), bf),           # q (post-rope)
+                pltpu.VMEM((B, HKV * HD), bf),          # k current
+                pltpu.VMEM((B, HKV * HD), bf),          # v current
+                pltpu.VMEM((B, HQ * HD), bf),           # attn out
+                pltpu.VMEM((B, 2 * F), bf),             # gate|up → ff
+                pltpu.VMEM((B, HKV * HD), jnp.int8),    # k current int8
+                pltpu.VMEM((B, HKV * HD), jnp.int8),    # v current int8
+                pltpu.VMEM((B, HKV), jnp.float32),      # k scale
+                pltpu.VMEM((B, HKV), jnp.float32),      # v scale
+            ],
+        ),
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * (L * (D * QO + HQ * HD * D + 2 * D * F + F * D)
+                           + 2 * HQ * HD * S * L),
+            bytes_accessed=(wqkv.q.nbytes + wo.q.nbytes + wgu.q.nbytes
+                            + wdn.q.nbytes + k_q.nbytes + v_q.nbytes
+                            + k_s.nbytes + v_s.nbytes),
+            transcendentals=B * HQ * S * L),
+        interpret=interpret,
+    )(slot_arr, x, params["ln1"][:, None], params["ln2"][:, None],
+      wqkv.q, wqkv.s, wo.q, wo.s, wgu.q, wgu.s, wdn.q, wdn.s,
+      k_q, k_s, v_q, v_s, rope_cos_g, rope_sin_g, qslot2, vfrom2)
+    return tuple(out)

@@ -430,6 +430,53 @@ def block_forward(
     return x, new_kv
 
 
+def _fused_decode_ok(params: dict, cfg: ModelConfig, b: int,
+                     kv: "KVSlice") -> bool:
+    """Shape/type gate for the fused whole-model decode kernel."""
+    from .quant import QuantizedTensor
+
+    if not (cfg.fused_decode and cfg.num_experts == 0 and cfg.use_rope
+            and jax.default_backend() == "tpu"
+            and cfg.attention_impl != "dense"):
+        return False
+    if not isinstance(kv.k, QuantKV):
+        return False
+    blocks = params["blocks"]
+    for name in ("wqkv", "wo", "w_gate_up", "w_down"):
+        w = blocks.get(name)
+        if not (isinstance(w, QuantizedTensor) and w.q.ndim == 3):
+            return False
+    d, f, hd = cfg.hidden_dim, cfg.intermediate_dim, cfg.head_dim
+    qo = (cfg.num_heads + 2 * cfg.num_kv_heads) * hd
+    s_max = kv.k.q.shape[2]
+    import math as _math
+
+    tn = _math.gcd(_math.gcd(qo, d), 2 * f)
+    return (hd % 128 == 0 and b % 8 == 0 and tn % 128 == 0
+            and f % 128 == 0 and s_max % 8 == 0
+            and 8 * s_max * cfg.num_kv_heads * hd <= (8 << 20))
+
+
+def _scatter_new_kv(cache: QuantKV, new_q: jnp.ndarray, new_s: jnp.ndarray,
+                    start: jnp.ndarray) -> QuantKV:
+    """Write the fused kernel's per-layer new K or V (L, B, Hkv·hd) int8 +
+    scales (L, B, Hkv) into the stacked cache at slot(s) `start` — one fused
+    update covering all layers."""
+    if start.ndim == 0:
+        q = lax.dynamic_update_slice(cache.q, new_q[:, :, None, :],
+                                     (0, 0, start, 0))
+        s = lax.dynamic_update_slice(cache.s, new_s[:, :, :, None],
+                                     (0, 0, 0, start))
+        return QuantKV(q=q, s=s)
+    q = jax.vmap(lambda c, n, off: lax.dynamic_update_slice(
+        c, n[:, None, :], (0, off, 0)),
+        in_axes=(1, 1, 0), out_axes=1)(cache.q, new_q, start)
+    s = jax.vmap(lambda c, n, off: lax.dynamic_update_slice(
+        c, n[:, :, None], (0, 0, off)),
+        in_axes=(1, 1, 0), out_axes=1)(cache.s, new_s, start)
+    return QuantKV(q=q, s=s)
+
+
 def forward(
     params: dict,
     input_ids: jnp.ndarray,
@@ -475,6 +522,36 @@ def forward(
 
         x, _ = lax.scan(body, x, jnp.arange(cfg.num_layers))
         new_kv = None
+    elif s == 1 and _fused_decode_ok(params, cfg, b, kv):
+        # Fused whole-model decode: one Pallas kernel runs every layer's
+        # matmuls + attention + glue, streaming weights and the INT8 cache
+        # through VMEM once (kernels/fused_decode.py). New K/V come back as
+        # (L, B, Hkv·hd) and are scattered into the cache in one update.
+        from ..kernels.fused_decode import fused_decode_step
+
+        start = jnp.asarray(kv.start)
+        q_slot = (slots[:, 0] if slots is not None
+                  else jnp.broadcast_to(start.reshape(-1), (b,)))
+        pos = positions[:, 0]
+        cos_g, sin_g = rope_cos[pos], rope_sin[pos]
+        if start.ndim == 0:
+            # uniform write slot → the kernel updates the cache IN PLACE
+            # (aliased buffers): zero-copy through the decode scan's carry
+            x_out, kq2, ks2, vq2, vs2 = fused_decode_step(
+                params["blocks"], x[:, 0], kv.k.q, kv.k.s, kv.v.q, kv.v.s,
+                q_slot=q_slot, valid_from=valid_from,
+                rope_cos_g=cos_g, rope_sin_g=sin_g, cfg=cfg,
+                slot=start, write_cache=True)
+            k_cache, v_cache = QuantKV(kq2, ks2), QuantKV(vq2, vs2)
+        else:
+            x_out, k_new, ksc, v_new, vsc = fused_decode_step(
+                params["blocks"], x[:, 0], kv.k.q, kv.k.s, kv.v.q, kv.v.s,
+                q_slot=q_slot, valid_from=valid_from,
+                rope_cos_g=cos_g, rope_sin_g=sin_g, cfg=cfg)
+            k_cache = _scatter_new_kv(kv.k, k_new, ksc, start)
+            v_cache = _scatter_new_kv(kv.v, v_new, vsc, start)
+        x = x_out[:, None, :]
+        new_kv = KVSlice(k_cache, v_cache, kv.start + 1)
     else:
         # Caches ride the scan CARRY (not xs/ys): every layer's one-token
         # update aliases the buffers in place instead of rebuilding the whole
