@@ -39,7 +39,8 @@ def main():
     cfg = ModelConfig(vocab_size=32000, hidden_dim=2048, num_layers=16,
                       num_heads=16, num_kv_heads=4, intermediate_dim=5632,
                       max_seq_len=2048, dtype="bfloat16",
-                      attention_impl=os.environ.get("BENCH_ATTN", "auto"))
+                      attention_impl=os.environ.get("BENCH_ATTN", "auto"),
+                      act_quant=os.environ.get("BENCH_ACT", "none"))
     # batch: decode is weight-streaming-bound, so tokens/s/chip scales with
     # batch until the KV stream + MXU row occupancy catch up (the ch03
     # batching lesson); 128 fills the MXU's rows exactly (measured knee:

@@ -72,10 +72,10 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
             vq_ref, vs_ref, cos_ref, sin_ref, qslot_ref, vfrom_ref,
             xout_ref, ko1_ref, ko2_ref, vo1_ref, vo2_ref,
             x_scr, h_scr, qkv_scr, q_scr, kcur_scr, vcur_scr, attn_scr,
-            gu_scr, k8_scr, v8_scr, kscl_scr, vscl_scr,
+            gu_scr, k8_scr, v8_scr, kscl_scr, vscl_scr, a8_scr, asc_scr,
             *, cfgk):
     (L, B, S, D, F, HQ, HKV, HD, QO, TN, TK, RB, nq, na, nwo, ngu, ndn,
-     eps, write_cache) = cfgk
+     eps, write_cache, act8) = cfgk
     l = pl.program_id(0)
     t = pl.program_id(1)
     P_ATTN, P_WO = nq, nq + na
@@ -88,17 +88,40 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
     def _():
         x_scr[:] = x0_ref[...].astype(jnp.float32)
 
+    def _qrow(x_f32, width):
+        # dynamic per-row (per-token) activation quantization for the W8A8
+        # path: int8×int8 runs the MXU at 2× the bf16 rate
+        amax = jnp.max(jnp.abs(x_f32), axis=-1, keepdims=True)
+        sc = jnp.maximum(amax, 1e-8) / INT8_MAX
+        q = jnp.clip(jnp.round(x_f32 / sc), -127, 127).astype(jnp.int8)
+        a8_scr[:, :width] = q
+        asc_scr[:] = sc
+
+    def _mm(a_bf16_or_none, w_tile, width):
+        # one matmul tile: bf16 activations, or int8 activations from
+        # a8_scr/asc_scr when act8 (returns f32 with act scale applied)
+        if act8:
+            acc = lax.dot_general(a8_scr[:, :width], w_tile,
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+            return acc.astype(jnp.float32) * asc_scr[...]
+        return lax.dot_general(a_bf16_or_none, w_tile,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
     @pl.when(t == 0)
     def _():
-        h_scr[:] = _rms(x_scr[...], ln1_ref[0], eps).astype(h_scr.dtype)
+        hf = _rms(x_scr[...], ln1_ref[0], eps)
+        if act8:
+            _qrow(hf, D)
+        else:
+            h_scr[:] = hf.astype(h_scr.dtype)
 
     # ---- QKV: qkv[:, j·TN:(j+1)·TN] = h @ wqkv_tile · scale ----
     @pl.when(t < nq)
     def _():
         j = t
-        acc = lax.dot_general(h_scr[...], wqkv_ref[0],
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+        acc = _mm(h_scr[...], wqkv_ref[0], D)
         qkv_scr[:, pl.ds(j * TN, TN)] = (acc * sqkv_ref[0]).astype(
             qkv_scr.dtype)
 
@@ -217,26 +240,31 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
             ko2_ref[0] = jnp.where(lane == slot, ksl, ks)
             vo2_ref[0] = jnp.where(lane == slot, vsl, vs)
 
+    if act8:
+        @pl.when(t == P_WO)
+        def _():
+            _qrow(attn_scr[...].astype(jnp.float32), HQ * HD)
+
     # ---- WO: x[:, tile] += attn @ wo_tile · scale ----
     @pl.when((t >= P_WO) & (t < P_GU))
     def _():
         j = t - P_WO
-        acc = lax.dot_general(attn_scr[...], wo_ref[0],
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+        acc = _mm(attn_scr[...], wo_ref[0], HQ * HD)
         x_scr[:, pl.ds(j * TN, TN)] += acc * swo_ref[0]
 
     @pl.when(t == P_GU)
     def _():
-        h_scr[:] = _rms(x_scr[...], ln2_ref[0], eps).astype(h_scr.dtype)
+        hf = _rms(x_scr[...], ln2_ref[0], eps)
+        if act8:
+            _qrow(hf, D)
+        else:
+            h_scr[:] = hf.astype(h_scr.dtype)
 
     # ---- GU: gu[:, tile] = h2 @ w_gate_up_tile · scale ----
     @pl.when((t >= P_GU) & (t < P_DN))
     def _():
         j = t - P_GU
-        acc = lax.dot_general(h_scr[...], wgu_ref[0],
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+        acc = _mm(h_scr[...], wgu_ref[0], D)
         gu_scr[:, pl.ds(j * TN, TN)] = (acc * sgu_ref[0]).astype(
             gu_scr.dtype)
 
@@ -245,16 +273,25 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
         gate = gu_scr[:, :F].astype(jnp.float32)
         up = gu_scr[:, F:].astype(jnp.float32)
         ff = jax.nn.silu(gate) * up
-        # reuse the gate half of gu_scr as the ff buffer
-        gu_scr[:, :F] = ff.astype(gu_scr.dtype)
+        if act8:
+            _qrow(ff, F)
+        else:
+            # reuse the gate half of gu_scr as the ff buffer
+            gu_scr[:, :F] = ff.astype(gu_scr.dtype)
 
     # ---- DOWN: x += ff[:, ktile] @ w_down_tile · scale ----
     @pl.when(t >= P_DN)
     def _():
         j = t - P_DN
-        ff = gu_scr[:, pl.ds(j * TK, TK)]
-        acc = lax.dot_general(ff, wdn_ref[0], (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+        if act8:
+            acc = lax.dot_general(a8_scr[:, pl.ds(j * TK, TK)], wdn_ref[0],
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+            acc = acc.astype(jnp.float32) * asc_scr[...]
+        else:
+            ff = gu_scr[:, pl.ds(j * TK, TK)]
+            acc = lax.dot_general(ff, wdn_ref[0], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
         x_scr[:] += acc * sdn_ref[0]
 
     @pl.when((l == L - 1) & (t == P_DN + ndn - 1))
@@ -302,11 +339,15 @@ def fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
     assert flat_hd == HKV * HD
     assert (slot is not None) == write_cache
 
-    TN = _pick_tile(math.gcd(math.gcd(QO, D), 2 * F), 512)
-    TK = _pick_tile(F, 512)
+    import os
+
+    tn_target = int(os.environ.get("FUSED_TN", "512"))
+    rb_bytes = int(os.environ.get("FUSED_RB_BYTES", str(1 << 20)))
+    TN = _pick_tile(math.gcd(math.gcd(QO, D), 2 * F), tn_target)
+    TK = _pick_tile(F, tn_target)
     RB = B
     for rb in range(8, B + 1, 8):
-        if B % rb == 0 and rb * S * flat_hd >= 1 << 20:
+        if B % rb == 0 and rb * S * flat_hd >= rb_bytes:
             RB = rb
             break
     nq, na, nwo = QO // TN, B // RB, D // TN
@@ -316,8 +357,9 @@ def fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
     wqkv, wo = params["wqkv"], params["wo"]
     wgu, wdn = params["w_gate_up"], params["w_down"]
 
+    act8 = getattr(cfg, "act_quant", "none") == "int8"
     cfgk = (L, B, S, D, F, HQ, HKV, HD, QO, TN, TK, RB, nq, na, nwo, ngu,
-            ndn, cfg.norm_eps, write_cache)
+            ndn, cfg.norm_eps, write_cache, act8)
     kernel = functools.partial(_kernel, cfgk=cfgk)
 
     P_ATTN, P_WO = nq, nq + na
@@ -434,6 +476,8 @@ def fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
                 pltpu.VMEM((B, HKV * HD), jnp.int8),    # v current int8
                 pltpu.VMEM((B, HKV), jnp.float32),      # k scale
                 pltpu.VMEM((B, HKV), jnp.float32),      # v scale
+                pltpu.VMEM((B, max(D, HQ * HD, F)), jnp.int8),  # act int8
+                pltpu.VMEM((B, 1), jnp.float32),        # act row scale
             ],
         ),
         out_shape=out_shape,

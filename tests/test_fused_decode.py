@@ -77,6 +77,24 @@ class TestFusedDecodeParity:
                             - np.asarray(k_new, np.int32)) <= 1)
         assert kd > 0.99, kd
 
+    def test_w8a8_close_to_w8a16(self):
+        """act_quant='int8' (dynamic W8A8) stays close to bf16 activations."""
+        import dataclasses
+        B = 8
+        params, kv, tok, P = _setup(B=B)
+        (x16, *_), pos = _fused(params, kv, tok, P, B)
+        cfg8 = dataclasses.replace(CFG, act_quant="int8")
+        x = params["embed"][tok[:, 0]].astype(jnp.dtype(CFG.dtype))
+        cos_t, sin_t = rope_frequencies(CFG.head_dim, CFG.max_seq_len,
+                                        CFG.rope_theta)
+        x8, *_ = fused_decode_step(
+            params["blocks"], x, kv.k.q, kv.k.s, kv.v.q, kv.v.s,
+            q_slot=pos, valid_from=None, rope_cos_g=cos_t[pos],
+            rope_sin_g=sin_t[pos], cfg=cfg8)
+        rel = float(jnp.linalg.norm((x8 - x16).astype(jnp.float32))
+                    / jnp.linalg.norm(x16.astype(jnp.float32)))
+        assert rel < 0.05, rel
+
     def test_write_cache_mode_matches_scatter(self):
         """In-place aliased cache writes ≡ returned-KV + outside scatter."""
         B = 8
