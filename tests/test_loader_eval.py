@@ -109,3 +109,28 @@ class TestPerplexity:
         # int8 per-channel on a toy model: delta should be tiny
         assert abs(rep["delta"]) < 0.5
         assert isinstance(rep["within_budget"], bool)
+
+    def test_decode_path_matches_parallel_forward(self):
+        """Stepwise decode-path NLL ≡ parallel-forward NLL (fp32, dense)."""
+        from physics_llm_inference_tpu.bench.perplexity import (
+            decode_path_perplexity)
+
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        tokens = np.random.default_rng(2).integers(0, 64, 256)
+        ppl_par = perplexity(params, CFG, tokens, window=128)
+        ppl_dec = decode_path_perplexity(params, CFG, tokens, window=128)
+        assert abs(ppl_dec - ppl_par) / ppl_par < 0.02, (ppl_dec, ppl_par)
+
+    def test_decode_path_int8_within_budget(self):
+        """The full quantized serving path (INT8 W+KV, cache machinery)
+        holds the BASELINE perplexity budget on the toy model."""
+        from physics_llm_inference_tpu.bench.perplexity import (
+            decode_path_perplexity)
+
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        qp = quantize_params_int8(params)
+        tokens = np.random.default_rng(3).integers(0, 64, 256)
+        ppl_fp = decode_path_perplexity(params, CFG, tokens, window=128)
+        ppl_q8 = decode_path_perplexity(qp, CFG, tokens, window=128,
+                                        kv_dtype=jnp.int8)
+        assert abs(ppl_q8 - ppl_fp) < 0.5, (ppl_q8, ppl_fp)
