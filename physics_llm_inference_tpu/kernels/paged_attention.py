@@ -159,6 +159,153 @@ def paged_decode_attention(q: jnp.ndarray, k_pool: jnp.ndarray,
       q, k_pool, v_pool)
 
 
+def _int8_paged_kernel(lref, tables_ref, lens_ref, q_ref, kq_ref, ks_ref,
+                       vq_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                       block_size, scale, num_kv_heads, group, d):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    hq = num_kv_heads * group
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    ctx = lens_ref[b]
+    live = j * block_size < ctx
+
+    @pl.when(live)
+    def _():
+        q = q_ref[0].astype(jnp.float32)     # (Hq, d)
+        kq = kq_ref[0, 0]                    # (bs, Hkv·d) int8 — flat layout
+        vq = vq_ref[0, 0]
+        ks = ks_ref[0, 0]                    # (Hkv, bs) f32 — transposed
+        vs = vs_ref[0, 0]
+
+        s_parts = []
+        for h in range(num_kv_heads):
+            kh = kq[:, h * d:(h + 1) * d].astype(jnp.bfloat16)
+            qh = q[h * group:(h + 1) * group].astype(jnp.bfloat16)
+            sh = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (g, bs)
+            s_parts.append(sh * (ks[h][None, :] * scale))
+        s = jnp.concatenate(s_parts, axis=0)                # (Hq, bs)
+        kpos = j * block_size + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1)
+        s = jnp.where(kpos < ctx, s, _NEG_INF)
+
+        m_prev = m_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)                              # (Hq, bs)
+        l_scr[:, :1] = l_scr[:, :1] * alpha + jnp.sum(p, -1, keepdims=True)
+        pv_parts = []
+        for h in range(num_kv_heads):
+            vh = vq[:, h * d:(h + 1) * d].astype(jnp.bfloat16)
+            ph = (p[h * group:(h + 1) * group]
+                  * vs[h][None, :]).astype(jnp.bfloat16)
+            pv_parts.append(jax.lax.dot_general(
+                ph, vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))        # (g, d)
+        acc_scr[:] = acc_scr[:] * alpha + jnp.concatenate(pv_parts, axis=0)
+        m_scr[:, :1] = m_new
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        l = l_scr[:, :1]
+        safe_l = jnp.where(l > 0, l, 1.0)
+        o_ref[0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def int8_paged_decode_attention(q: jnp.ndarray, kq_pool: jnp.ndarray,
+                                ks_pool: jnp.ndarray, vq_pool: jnp.ndarray,
+                                vs_pool: jnp.ndarray,
+                                block_tables: jnp.ndarray,
+                                context_lens: jnp.ndarray,
+                                layer: jnp.ndarray | None = None,
+                                interpret: bool | None = None) -> jnp.ndarray:
+    """Paged decode attention over INT8 pools with in-kernel dequant.
+
+    Same indirection design as paged_decode_attention, in the QuantKV
+    native layouts: kq_pool/vq_pool (L, num_blocks, bs, Hkv·d) int8 FLAT,
+    ks_pool/vs_pool (L, num_blocks, Hkv, bs) f32 TRANSPOSED (see
+    models/transformer.py QuantKV). Scales are applied to score/probability
+    rows, so pool bytes ride to the MXU as bare int8→bf16 casts — the cache
+    crosses HBM at 1 byte/element (the SURVEY §2.6 INT8-KV fusion, paged).
+    q: (B, Hq, d); returns (B, Hq, d)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, hq, d = q.shape
+    if kq_pool.ndim == 3:  # unstacked → stacked L=1
+        kq_pool, vq_pool = kq_pool[None], vq_pool[None]
+        ks_pool, vs_pool = ks_pool[None], vs_pool[None]
+        layer = jnp.int32(0)
+    assert layer is not None
+    L, nb, bs, flat_hd = kq_pool.shape
+    hkv = ks_pool.shape[-2]
+    assert flat_hd == hkv * d
+    assert hq % hkv == 0
+    group = hq // hkv
+    max_blocks = block_tables.shape[1]
+    scale = 1.0 / math.sqrt(d)
+    lidx = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    if not interpret and d % 128 != 0:
+        # per-head lane slices need 128-aligned offsets on TPU: dequantize
+        # this layer's pool and run the bf16 paged kernel instead
+        def dq(pq, ps):
+            pl_q = jax.lax.dynamic_index_in_dim(pq, layer, 0, keepdims=False)
+            pl_s = jax.lax.dynamic_index_in_dim(ps, layer, 0, keepdims=False)
+            vals = pl_q.reshape(nb, bs, hkv, d).astype(jnp.float32)
+            return (vals * pl_s.transpose(0, 2, 1)[..., None]).astype(q.dtype)
+
+        return paged_decode_attention(q, dq(kq_pool, ks_pool),
+                                      dq(vq_pool, vs_pool), block_tables,
+                                      context_lens)
+
+    kernel = functools.partial(_int8_paged_kernel, block_size=bs, scale=scale,
+                               num_kv_heads=hkv, group=group, d=d)
+
+    def kv_index(bb, j, lref, tables, lens):
+        last = jnp.maximum((lens[bb] - 1) // bs, 0)
+        jj = jnp.minimum(j, last)
+        return (lref[0], tables[bb, jj], 0, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b, max_blocks),
+            in_specs=[
+                pl.BlockSpec((1, hq, d), lambda bb, j, lref, tables, lens:
+                             (bb, 0, 0)),
+                pl.BlockSpec((1, 1, bs, flat_hd), kv_index),
+                pl.BlockSpec((1, 1, hkv, bs), kv_index),
+                pl.BlockSpec((1, 1, bs, flat_hd), kv_index),
+                pl.BlockSpec((1, 1, hkv, bs), kv_index),
+            ],
+            out_specs=pl.BlockSpec((1, hq, d),
+                                   lambda bb, j, lref, tables, lens:
+                                   (bb, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((hq, 128), jnp.float32),
+                pltpu.VMEM((hq, 128), jnp.float32),
+                pltpu.VMEM((hq, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * max_blocks * bs * d,
+            bytes_accessed=2 * b * max_blocks * bs * flat_hd,
+            transcendentals=b * hq * max_blocks * bs),
+        interpret=interpret,
+    )(lidx, block_tables.astype(jnp.int32), context_lens.astype(jnp.int32),
+      q, kq_pool, ks_pool, vq_pool, vs_pool)
+
+
 def paged_write(k_pool, v_pool, k_new, v_new, block_ids, offsets):
     """Scatter this step's K/V into the pool.
 

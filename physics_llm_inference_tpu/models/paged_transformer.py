@@ -19,11 +19,13 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..kernels.flash_attention import flash_attention
-from ..kernels.paged_attention import paged_decode_attention
+from ..kernels.paged_attention import (paged_decode_attention,
+                                       int8_paged_decode_attention)
+from ..kernels.quant import quantize_int8
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, rope_frequencies
 from .config import ModelConfig
-from .transformer import _linear, layer_view
+from .transformer import QuantKV, _linear, layer_view
 
 
 def _rope_tables(cfg: ModelConfig):
@@ -45,7 +47,8 @@ def paged_decode_step(params, tokens: jnp.ndarray,
     position `lengths`). Returns (logits (B, V), k_pools, v_pools).
     """
     b = tokens.shape[0]
-    bs = k_pools.shape[2]
+    quantized = isinstance(k_pools, QuantKV)
+    bs = (k_pools.q if quantized else k_pools).shape[2]
     hq, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     x = params["embed"][tokens][:, None, :].astype(jnp.dtype(cfg.dtype))
     cos, sin = _rope_tables(cfg)
@@ -69,12 +72,28 @@ def paged_decode_step(params, tokens: jnp.ndarray,
         if cos is not None:
             q = apply_rope(q, cos, sin, positions)
             k = apply_rope(k, cos, sin, positions)
-        k_pools = k_pools.at[l, block_ids, offsets].set(
-            k[:, 0].astype(k_pools.dtype))
-        v_pools = v_pools.at[l, block_ids, offsets].set(
-            v[:, 0].astype(v_pools.dtype))
-        attn = paged_decode_attention(q[:, 0], k_pools, v_pools, tables,
-                                      lengths + 1, layer=l)
+        if quantized:
+            # QuantKV pools: flat int8 values + transposed scales
+            kq8, ksc = quantize_int8(k[:, 0], axis=-1)
+            vq8, vsc = quantize_int8(v[:, 0], axis=-1)
+            k_pools = QuantKV(
+                q=k_pools.q.at[l, block_ids, offsets].set(
+                    kq8.reshape(b, hkv * hd)),
+                s=k_pools.s.at[l, block_ids, :, offsets].set(ksc[..., 0]))
+            v_pools = QuantKV(
+                q=v_pools.q.at[l, block_ids, offsets].set(
+                    vq8.reshape(b, hkv * hd)),
+                s=v_pools.s.at[l, block_ids, :, offsets].set(vsc[..., 0]))
+            attn = int8_paged_decode_attention(
+                q[:, 0], k_pools.q, k_pools.s, v_pools.q, v_pools.s,
+                tables, lengths + 1, layer=l)
+        else:
+            k_pools = k_pools.at[l, block_ids, offsets].set(
+                k[:, 0].astype(k_pools.dtype))
+            v_pools = v_pools.at[l, block_ids, offsets].set(
+                v[:, 0].astype(v_pools.dtype))
+            attn = paged_decode_attention(q[:, 0], k_pools, v_pools, tables,
+                                          lengths + 1, layer=l)
         x = x + _linear(attn.reshape(b, 1, hq * hd), bp["wo"])
         h = rms_norm(x, bp["ln2"], cfg.norm_eps)
         gu = _linear(h, bp["w_gate_up"])
@@ -103,7 +122,8 @@ def paged_prefill_chunk(params, ids: jnp.ndarray,
     (last-valid-position logits (1, V), k_pools, v_pools).
     """
     c = ids.shape[1]
-    bs = k_pools.shape[2]
+    quantized = isinstance(k_pools, QuantKV)
+    bs = (k_pools.q if quantized else k_pools).shape[2]
     hq, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     max_blocks = table.shape[0]
     prefix_cap = max_blocks * bs  # static gather width
@@ -115,7 +135,7 @@ def paged_prefill_chunk(params, ids: jnp.ndarray,
     pos = start + jnp.arange(c)
     blk = table[pos // bs]
     off = pos % bs
-    nb = k_pools.shape[1]
+    nb = (k_pools.q if quantized else k_pools).shape[1]
     blk = jnp.where(jnp.arange(c) < nvalid, blk, nb)  # drop padding writes
 
     # Pools in the scan carry for the same in-place-aliasing reason as the
@@ -132,16 +152,38 @@ def paged_prefill_chunk(params, ids: jnp.ndarray,
         if cos is not None:
             q = apply_rope(q, cos, sin, positions)
             k = apply_rope(k, cos, sin, positions)
-        k_pools = k_pools.at[l, blk, off].set(k[0].astype(k_pools.dtype),
-                                              mode="drop")
-        v_pools = v_pools.at[l, blk, off].set(v[0].astype(v_pools.dtype),
-                                              mode="drop")
-        # gather the request's whole (padded) KV range contiguously:
-        # (max_blocks·bs, Hkv, hd) — includes the chunk just written
-        k_pool = lax.dynamic_index_in_dim(k_pools, l, 0, keepdims=False)
-        v_pool = lax.dynamic_index_in_dim(v_pools, l, 0, keepdims=False)
-        k_seq = k_pool[table].reshape(1, prefix_cap, hkv, hd)
-        v_seq = v_pool[table].reshape(1, prefix_cap, hkv, hd)
+        if quantized:
+            kq8, ksc = quantize_int8(k[0], axis=-1)
+            vq8, vsc = quantize_int8(v[0], axis=-1)
+            k_pools = QuantKV(
+                q=k_pools.q.at[l, blk, off].set(
+                    kq8.reshape(c, hkv * hd), mode="drop"),
+                s=k_pools.s.at[l, blk, :, off].set(ksc[..., 0], mode="drop"))
+            v_pools = QuantKV(
+                q=v_pools.q.at[l, blk, off].set(
+                    vq8.reshape(c, hkv * hd), mode="drop"),
+                s=v_pools.s.at[l, blk, :, off].set(vsc[..., 0], mode="drop"))
+
+            def gather_dq(pools):
+                pq = lax.dynamic_index_in_dim(pools.q, l, 0, keepdims=False)
+                ps = lax.dynamic_index_in_dim(pools.s, l, 0, keepdims=False)
+                seq = pq[table].reshape(max_blocks, bs, hkv, hd)
+                sc = ps[table].transpose(0, 2, 1)[..., None]
+                return (seq.astype(jnp.float32) * sc).reshape(
+                    1, prefix_cap, hkv, hd)
+
+            k_seq, v_seq = gather_dq(k_pools), gather_dq(v_pools)
+        else:
+            k_pools = k_pools.at[l, blk, off].set(k[0].astype(k_pools.dtype),
+                                                  mode="drop")
+            v_pools = v_pools.at[l, blk, off].set(v[0].astype(v_pools.dtype),
+                                                  mode="drop")
+            # gather the request's whole (padded) KV range contiguously:
+            # (max_blocks·bs, Hkv, hd) — includes the chunk just written
+            k_pool = lax.dynamic_index_in_dim(k_pools, l, 0, keepdims=False)
+            v_pool = lax.dynamic_index_in_dim(v_pools, l, 0, keepdims=False)
+            k_seq = k_pool[table].reshape(1, prefix_cap, hkv, hd)
+            v_seq = v_pool[table].reshape(1, prefix_cap, hkv, hd)
         attn = flash_attention(
             q.transpose(0, 2, 1, 3),
             k_seq.transpose(0, 2, 1, 3).astype(q.dtype),

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.config import ModelConfig
-from ..models.transformer import KVSlice, forward
+from ..models.transformer import KVSlice, QuantKV, forward
 from ..ops.sampling import SamplingParams, sample_token
 from ..runtime.paged_kv import PagedKVCache
 from ..runtime.step_cache import StepCache, bucket_for
@@ -92,10 +92,22 @@ class InferenceEngine:
         c = self.config
 
         kv_dtype = jnp.dtype(c.kv_dtype or model_cfg.dtype)
-        shape = (model_cfg.num_layers, c.num_slots, c.max_seq_len,
-                 model_cfg.num_kv_heads, model_cfg.head_dim)
-        self._k = jnp.zeros(shape, kv_dtype)
-        self._v = jnp.zeros(shape, kv_dtype)
+        if kv_dtype == jnp.int8:
+            # framework-native QuantKV (flat int8 values + transposed
+            # scales — models/transformer.py); the decode step runs the
+            # fused INT8-KV kernels
+            qshape = (model_cfg.num_layers, c.num_slots, c.max_seq_len,
+                      model_cfg.num_kv_heads * model_cfg.head_dim)
+            sshape = (model_cfg.num_layers, c.num_slots,
+                      model_cfg.num_kv_heads, c.max_seq_len)
+            mk = lambda: QuantKV(q=jnp.zeros(qshape, jnp.int8),
+                                 s=jnp.zeros(sshape, jnp.float32))
+            self._k, self._v = mk(), mk()
+        else:
+            shape = (model_cfg.num_layers, c.num_slots, c.max_seq_len,
+                     model_cfg.num_kv_heads, model_cfg.head_dim)
+            self._k = jnp.zeros(shape, kv_dtype)
+            self._v = jnp.zeros(shape, kv_dtype)
 
         # slot bookkeeping: one "block" per slot
         self._slot_pool = PagedKVCache(num_blocks=c.num_slots,
@@ -123,6 +135,16 @@ class InferenceEngine:
 
         self._prefill_cache = StepCache(self._make_prefill)
         self._decode_fn = self._make_decode()
+
+    # slot-axis (axis 1) views over plain arrays AND QuantKV pytrees
+    @staticmethod
+    def _kv_slot(cache, slot):
+        return jax.tree_util.tree_map(lambda a: a[:, slot:slot + 1], cache)
+
+    @staticmethod
+    def _kv_set(cache, slot, new):
+        return jax.tree_util.tree_map(
+            lambda a, n: a.at[:, slot:slot + 1].set(n), cache, new)
 
     # ------------------------------------------------------------------ jit
 
@@ -183,7 +205,8 @@ class InferenceEngine:
             fn = self._prefill_cache.get(pb)
             jax.block_until_ready(fn(
                 self.params, jnp.zeros((1, pb), jnp.int32),
-                self._k[:, :1], self._v[:, :1], jnp.int32(0), jnp.int32(1),
+                self._kv_slot(self._k, 0), self._kv_slot(self._v, 0),
+                jnp.int32(0), jnp.int32(1),
                 self._split_rng(), jnp.float32(0.0), jnp.float32(1.0))[0])
         return _t.monotonic() - t0
 
@@ -262,12 +285,12 @@ class InferenceEngine:
                 fn = self._prefill_cache.get(c_bucket)
                 tok, k_new, v_new = fn(
                     self.params, jnp.asarray(ids),
-                    self._k[:, slot:slot + 1], self._v[:, slot:slot + 1],
+                    self._kv_slot(self._k, slot), self._kv_slot(self._v, slot),
                     jnp.int32(pos), jnp.int32(n), self._split_rng(),
                     jnp.float32(r.sampling.temperature),
                     jnp.float32(r.sampling.top_p))
-                self._k = self._k.at[:, slot:slot + 1].set(k_new)
-                self._v = self._v.at[:, slot:slot + 1].set(v_new)
+                self._k = self._kv_set(self._k, slot, k_new)
+                self._v = self._kv_set(self._v, slot, v_new)
                 pos += n
                 r.prefill_pos = pos
             self._lengths[slot] = p

@@ -58,10 +58,24 @@ class PagedInferenceEngine:
         self.config = c = config or PagedEngineConfig()
 
         kv_dtype = jnp.dtype(c.kv_dtype or model_cfg.dtype)
-        pool_shape = (model_cfg.num_layers, c.num_blocks + 1, c.block_size,
-                      model_cfg.num_kv_heads, model_cfg.head_dim)
-        self._k = jnp.zeros(pool_shape, kv_dtype)
-        self._v = jnp.zeros(pool_shape, kv_dtype)
+        if kv_dtype == jnp.int8:
+            # QuantKV pools: flat int8 values + transposed scales (the
+            # framework-native format); decode runs the int8 paged kernel
+            from ..models.transformer import QuantKV
+
+            qshape = (model_cfg.num_layers, c.num_blocks + 1, c.block_size,
+                      model_cfg.num_kv_heads * model_cfg.head_dim)
+            sshape = (model_cfg.num_layers, c.num_blocks + 1,
+                      model_cfg.num_kv_heads, c.block_size)
+            mk = lambda: QuantKV(q=jnp.zeros(qshape, jnp.int8),
+                                 s=jnp.zeros(sshape, jnp.float32))
+            self._k, self._v = mk(), mk()
+        else:
+            pool_shape = (model_cfg.num_layers, c.num_blocks + 1,
+                          c.block_size, model_cfg.num_kv_heads,
+                          model_cfg.head_dim)
+            self._k = jnp.zeros(pool_shape, kv_dtype)
+            self._v = jnp.zeros(pool_shape, kv_dtype)
         self._trash = c.num_blocks  # physical row for dead writes
 
         self.pool = PagedKVCache(num_blocks=c.num_blocks,

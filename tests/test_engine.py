@@ -41,6 +41,23 @@ class TestSingleRequest:
         assert res.finish_reason == "length"
         assert res.ttft_s is not None and res.ttft_s >= 0
 
+    def test_int8_kv_engine_greedy_close(self, params):
+        """kv_dtype='int8' builds a real QuantKV slot pool (not truncated
+        raw int8) and greedy output matches the int8 generate path."""
+        import jax.numpy as jnp
+        from physics_llm_inference_tpu.models.transformer import QuantKV
+
+        prompt = [5, 17, 3, 42, 8]
+        eng = engine(params, kv_dtype="int8")
+        assert isinstance(eng._k, QuantKV)
+        res = eng.generate(GenerationRequest(prompt_tokens=prompt,
+                                             max_tokens=6, temperature=0.0))
+        ref = cached_generate(params, CFG, [prompt], 6, temperature=0.0,
+                              kv_dtype=jnp.int8)
+        agree = float(np.mean(np.asarray(res.tokens) == ref.tokens[0]))
+        assert agree >= 0.5  # near-flat toy logits → few argmax flips ok
+        assert len(res.tokens) == 6
+
     def test_stop_token(self, params):
         eng = engine(params)
         free = eng.generate(GenerationRequest(prompt_tokens=[1, 2, 3],

@@ -171,6 +171,39 @@ class TestInt8KVDecodeKernel:
         assert logits2.shape == (1, 1, 100)
 
 
+class TestInt8PagedKernel:
+    def test_matches_dequant_paged_reference(self):
+        """int8 paged kernel ≡ bf16 paged kernel over the dequantized pool
+        (same tables/lengths), within bf16-MXU tolerance."""
+        from physics_llm_inference_tpu.kernels.paged_attention import (
+            int8_paged_decode_attention)
+        from physics_llm_inference_tpu.kernels.quant import quantize_int8
+
+        rng = np.random.default_rng(5)
+        L, NB, B, hq, hkv, d, maxb = 2, 24, 2, 4, 2, 64, 4
+        kp = jnp.asarray(rng.normal(0, 1, (L, NB, BS, hkv, d)), jnp.float32)
+        vp = jnp.asarray(rng.normal(0, 1, (L, NB, BS, hkv, d)), jnp.float32)
+        kq, ks = quantize_int8(kp, axis=-1)   # (L,NB,BS,hkv,d),( ...,1)
+        vq, vs = quantize_int8(vp, axis=-1)
+        # kernel-native layouts: flat values, transposed scales
+        kq_f = kq.reshape(L, NB, BS, hkv * d)
+        vq_f = vq.reshape(L, NB, BS, hkv * d)
+        ks_t = ks[..., 0].transpose(0, 1, 3, 2)  # (L, NB, hkv, BS)
+        vs_t = vs[..., 0].transpose(0, 1, 3, 2)
+        kd = kq.astype(jnp.float32) * ks
+        vd = vq.astype(jnp.float32) * vs
+        q = jnp.asarray(rng.normal(0, 1, (B, hq, d)), jnp.float32)
+        tables = jnp.asarray(
+            rng.permutation(NB)[:B * maxb].reshape(B, maxb), jnp.int32)
+        lens = jnp.asarray([29, 11], jnp.int32)
+        for l in range(L):
+            out = int8_paged_decode_attention(
+                q, kq_f, ks_t, vq_f, vs_t, tables, lens, layer=jnp.int32(l))
+            ref = paged_decode_attention(q, kd[l], vd[l], tables, lens)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=5e-3)
+
+
 class TestStackedLayerPools:
     """The (L, nb, bs, Hkv, d) + traced-layer form used when the model keeps
     the pools in its layer-scan carry must match per-layer slicing exactly."""

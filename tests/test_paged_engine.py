@@ -73,6 +73,40 @@ class TestPagedParity:
         np.testing.assert_array_equal(res.tokens, ref.tokens[0])
 
 
+class TestPagedInt8:
+    def test_int8_pools_greedy_close(self, params):
+        """kv_dtype='int8' builds QuantKV pools and generation stays close
+        to the int8 dense-cache path."""
+        from physics_llm_inference_tpu.models.transformer import QuantKV
+
+        prompt = [5, 17, 3, 42, 8]
+        eng = engine(params, kv_dtype="int8")
+        assert isinstance(eng._k, QuantKV)
+        res = eng.generate(GenerationRequest(prompt_tokens=prompt,
+                                             max_tokens=6, temperature=0.0))
+        ref = cached_generate(params, CFG, [prompt], 6, temperature=0.0,
+                              kv_dtype=jnp.int8)
+        agree = float(np.mean(np.asarray(res.tokens) == ref.tokens[0]))
+        assert agree >= 0.5  # near-flat toy logits → few argmax flips ok
+        assert len(res.tokens) == 6
+
+    def test_int8_prefix_reuse_still_matches(self, params):
+        """Radix prefix reuse composes with INT8 pools (the reused blocks
+        are already-quantized values)."""
+        p1 = list(range(1, 17))
+        p2 = p1[:12] + [44, 45]
+        eng = engine(params, kv_dtype="int8")
+        a = eng.generate(GenerationRequest(prompt_tokens=p1, max_tokens=4,
+                                           temperature=0.0))
+        b = eng.generate(GenerationRequest(prompt_tokens=p2, max_tokens=4,
+                                           temperature=0.0))
+        eng2 = engine(params, kv_dtype="int8", enable_radix=False)
+        b2 = eng2.generate(GenerationRequest(prompt_tokens=p2, max_tokens=4,
+                                             temperature=0.0))
+        assert b.tokens == b2.tokens
+        assert len(a.tokens) == 4
+
+
 class TestRadixReuse:
     def test_prefix_hit_skips_prefill_and_matches(self, params):
         shared = [int(x) for x in (np.arange(16) % 89) + 1]  # 2 full blocks
