@@ -36,23 +36,42 @@ def main():
     # format, BASELINE primary metric), flash prefill, fully on-device decode.
     import os
 
-    cfg = ModelConfig(vocab_size=32000, hidden_dim=2048, num_layers=16,
-                      num_heads=16, num_kv_heads=4, intermediate_dim=5632,
-                      max_seq_len=2048, dtype="bfloat16",
+    # BASELINE's primary metric is decode tokens/s/chip on a 7B-CLASS model
+    # (INT8 W+KV), so that's the default headline. BENCH_MODEL=0.85b for the
+    # smaller flagship used during optimization (see docs/PERF.md ledger).
+    model = os.environ.get("BENCH_MODEL", "7b")
+    shapes = {
+        # flagship: fits comfortably with room for large batches
+        "0.85b": dict(hidden_dim=2048, num_layers=16, num_heads=16,
+                      num_kv_heads=4, intermediate_dim=5632),
+        # north-star scale (BASELINE config 4): ~6.9B params, initialized
+        # directly in int8 (bf16 first would blow the 16 GB HBM)
+        "7b": dict(hidden_dim=4096, num_layers=32, num_heads=32,
+                   num_kv_heads=8, intermediate_dim=11008),
+    }[model]
+    cfg = ModelConfig(vocab_size=32000, max_seq_len=2048, dtype="bfloat16",
                       attention_impl=os.environ.get("BENCH_ATTN", "auto"),
-                      act_quant=os.environ.get("BENCH_ACT", "none"))
+                      act_quant=os.environ.get("BENCH_ACT", "none"),
+                      **shapes)
     # batch: decode is weight-streaming-bound, so tokens/s/chip scales with
     # batch until the KV stream + MXU row occupancy catch up (the ch03
-    # batching lesson); 128 fills the MXU's rows exactly (measured knee:
-    # 64→30.1k, 96→44.7k, 128→49.2k tok/s with the fused decode kernel)
-    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    # batching lesson). Measured knees: 0.85b → 128 (49.2k tok/s, MXU rows
+    # exactly full); 7b → 64 is the efficiency point (81% of SoL, 0.76 s
+    # TTFT; 128 gives 8.8k tok/s absolute at 68% and 1.56 s TTFT).
+    batch = int(os.environ.get("BENCH_BATCH",
+                               "64" if model == "7b" else "128"))
     prompt_len, new_tokens = 128, 128
 
     log(f"devices: {jax.devices()}")
     log(f"model: {cfg.param_count()/1e9:.2f}B params INT8 W+KV, "
         f"batch {batch}, prompt {prompt_len}, decode {new_tokens}")
 
-    params = quantize_params_int8(init_params(jax.random.PRNGKey(0), cfg))
+    if model == "7b":
+        from physics_llm_inference_tpu.models.quant import init_params_int8
+
+        params = init_params_int8(jax.random.PRNGKey(0), cfg)
+    else:
+        params = quantize_params_int8(init_params(jax.random.PRNGKey(0), cfg))
     rng = np.random.default_rng(0)
     prompts = [list(rng.integers(1, cfg.vocab_size, prompt_len))
                for _ in range(batch)]

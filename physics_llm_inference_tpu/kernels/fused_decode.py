@@ -261,6 +261,8 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
             h_scr[:] = hf.astype(h_scr.dtype)
 
     # ---- GU: gu[:, tile] = h2 @ w_gate_up_tile · scale ----
+    # (a variant spreading silu/multiply across the GU tiles measured 4%
+    # SLOWER at B=128 — the batched one-pass silu wins)
     @pl.when((t >= P_GU) & (t < P_DN))
     def _():
         j = t - P_GU
@@ -343,7 +345,8 @@ def fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
 
     tn_target = int(os.environ.get("FUSED_TN", "512"))
     rb_bytes = int(os.environ.get("FUSED_RB_BYTES", str(1 << 20)))
-    TN = _pick_tile(math.gcd(math.gcd(QO, D), 2 * F), tn_target)
+    # F (not 2F) in the gcd: the GU phase needs gate/up tiles to pair up
+    TN = _pick_tile(math.gcd(math.gcd(QO, D), F), tn_target)
     TK = _pick_tile(F, tn_target)
     RB = B
     for rb in range(8, B + 1, 8):

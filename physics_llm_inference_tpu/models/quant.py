@@ -69,6 +69,45 @@ def quantize_params_int8(params: dict, quantize_lm_head: bool = True) -> dict:
     return out
 
 
+def init_params_int8(rng, cfg) -> dict:
+    """Initialize a model DIRECTLY in the quantized format.
+
+    For benchmarking models too large to materialize in bf16 first (a
+    7B-class model is ~14 GB bf16 + ~7 GB int8 during quantize_params_int8 —
+    past a v5e's 16 GB HBM). Matmul weights are sampled as int8 values with
+    per-channel scales matching init_params' fan-in scaling; embeds/norms
+    init normally."""
+    d, f, v = cfg.hidden_dim, cfg.intermediate_dim, cfg.vocab_size
+    hd = cfg.head_dim
+    L = cfg.num_layers
+    qkv_out = (cfg.num_heads + 2 * cfg.num_kv_heads) * hd
+
+    def qw(key, shape, fan_in):
+        q = jax.random.randint(key, shape, -127, 128, jnp.int8)
+        # absmax-style scale so dequantized std ≈ fan_in**-0.5
+        s = jnp.full(shape[:-2] + (1, shape[-1]),
+                     (fan_in ** -0.5) / 73.9, jnp.float32)  # std(unif int8)
+        return QuantizedTensor(q, s)
+
+    keys = jax.random.split(rng, 8)
+    dtype = jnp.dtype(cfg.dtype)
+    blocks = {
+        "ln1": jnp.ones((L, d), dtype),
+        "wqkv": qw(keys[1], (L, d, qkv_out), d),
+        "wo": qw(keys[4], (L, cfg.num_heads * hd, d), d),
+        "ln2": jnp.ones((L, d), dtype),
+        "w_gate_up": qw(keys[5], (L, d, 2 * f), d),
+        "w_down": qw(keys[6], (L, f, d), f),
+    }
+    emb = (jax.random.normal(keys[0], (v, d)) * (d ** -0.5)).astype(dtype)
+    return {
+        "embed": emb,
+        "blocks": blocks,
+        "norm": jnp.ones((d,), dtype),
+        "lm_head": qw(keys[7], (d, v), d),
+    }
+
+
 def quantized_param_bytes(params: dict) -> dict:
     """Memory accounting: bytes by precision class (the decode-bandwidth
     denominator for the roofline model)."""

@@ -451,7 +451,7 @@ def _fused_decode_ok(params: dict, cfg: ModelConfig, b: int,
     s_max = kv.k.q.shape[2]
     import math as _math
 
-    tn = _math.gcd(_math.gcd(qo, d), 2 * f)
+    tn = _math.gcd(_math.gcd(qo, d), f)
     return (hd % 128 == 0 and b % 8 == 0 and tn % 128 == 0
             and f % 128 == 0 and s_max % 8 == 0
             and 8 * s_max * cfg.num_kv_heads * hd <= (8 << 20))

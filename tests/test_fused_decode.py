@@ -53,12 +53,17 @@ class TestFusedDecodeParity:
         logits_f = _linear(xn, params["lm_head"]).astype(jnp.float32)
         rel = float(jnp.linalg.norm(logits_f[:, 0] - logits_ref[:, 0])
                     / jnp.linalg.norm(logits_ref[:, 0]))
-        agree = float(jnp.mean(jnp.argmax(logits_f[:, 0], -1)
-                               == jnp.argmax(logits_ref[:, 0], -1)))
         # the fused kernel keeps the residual stream in f32 (per-op path
-        # rounds to bf16 every residual add) so tiny drift is expected
+        # rounds to bf16 every residual add) so tiny drift is expected;
+        # argmax agreement is only meaningful where the reference top-2
+        # margin exceeds that drift (random-init logits are near-flat)
         assert rel < 0.03, rel
-        assert agree >= 0.9, agree
+        top2 = jnp.sort(logits_ref[:, 0], axis=-1)[:, -2:]
+        decisive = (top2[:, 1] - top2[:, 0]) > 0.05
+        match = jnp.argmax(logits_f[:, 0], -1) == jnp.argmax(
+            logits_ref[:, 0], -1)
+        assert bool(jnp.all(jnp.where(decisive, match, True))), (
+            np.asarray(match), np.asarray(decisive))
 
     def test_new_kv_matches_cache_write(self):
         B = 8
