@@ -47,9 +47,10 @@ class ModelConfig:
     fused_decode: bool = True
     # Activation quantization inside the fused decode kernel: "none" keeps
     # bf16 activations (W8A16); "int8" quantizes activations per row
-    # (dynamic W8A8) so the MXU runs int8×int8 at 2× the bf16 rate — at
-    # batch 128 the bf16 matmul compute slightly exceeds the weight-DMA
-    # floor, so this buys real throughput at a small accuracy cost.
+    # (dynamic W8A8). NOTE: on v5e via Mosaic, int8×int8 dots measured 2×
+    # SLOWER than bf16 (emulated, ~48 vs ~100 TOP/s at decode shapes) — so
+    # this is an accuracy/memory experiment knob, not a speed knob, until
+    # a native int8 MXU lowering lands.
     act_quant: str = "none"
     # MoE: num_experts > 0 replaces every block's dense SwiGLU with a routed
     # mixture (models/moe.py; ref ch09/moe_layer.py). intermediate_dim is the
