@@ -258,7 +258,18 @@ class InferenceEngine:
 
     def step(self) -> dict[str, int]:
         """One engine iteration: schedule → prefill admitted → decode running
-        → retire finished. Returns {request_id: new_token}."""
+        → retire finished. Returns {request_id: new_token}.
+
+        Holds the engine lock for the whole iteration: concurrent step()
+        callers (threaded blocking generate()) would otherwise race the
+        scheduler — a request admitted by one caller's schedule() shows up
+        in another caller's decode set before its prefill ran. One
+        accelerator serializes the work anyway; the lock is an RLock so
+        _finish can re-acquire."""
+        with self._lock:
+            return self._step_locked()
+
+    def _step_locked(self) -> dict[str, int]:
         out = self.scheduler.schedule()
         emitted: dict[str, int] = {}
 

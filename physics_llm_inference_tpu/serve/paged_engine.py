@@ -265,6 +265,14 @@ class PagedInferenceEngine:
     # ---------------------------------------------------------------- step
 
     def step(self) -> dict[str, int]:
+        # Hold the engine lock for the whole iteration: concurrent step()
+        # callers would race the scheduler (a request admitted by one
+        # caller's schedule() shows up in another's decode set before its
+        # prefill ran). RLock, so _finish can re-acquire.
+        with self._lock:
+            return self._step_locked()
+
+    def _step_locked(self) -> dict[str, int]:
         # admission starvation relief: when the pool can't fit the next
         # waiting request, reclaim radix-cached prefixes first (LRU) —
         # eviction-before-preemption order

@@ -70,6 +70,27 @@ class TestSingleRequest:
         assert res.finish_reason == "stop"
         assert res.tokens == free.tokens[:4]
 
+    def test_concurrent_generate_threads(self, params):
+        """Blocking generate() from many threads: step() must serialize the
+        schedule→prefill→decode iteration, or a request admitted by one
+        caller's schedule() shows up in another's decode set before its
+        prefill ran (regression: IndexError on empty output_tokens)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        eng = engine(params)
+        rng = np.random.default_rng(0)
+        prompts = [list(rng.integers(1, 100, 6)) for _ in range(12)]
+
+        def one(p):
+            return eng.generate(GenerationRequest(
+                prompt_tokens=p, max_tokens=5, temperature=0.0)).tokens
+
+        with ThreadPoolExecutor(max_workers=6) as ex:
+            outs = list(ex.map(one, prompts))
+        refs = cached_generate(params, CFG, prompts, 5, temperature=0.0)
+        for out, ref in zip(outs, refs.tokens):
+            np.testing.assert_array_equal(out, ref)
+
     def test_oversized_prompt_rejected(self, params):
         eng = engine(params)
         with pytest.raises(ValueError):
