@@ -91,13 +91,24 @@ def moe_layer(x: jnp.ndarray, params: dict, moe: MoEConfig):
     weights, indices, probs = router(xt, params["gate"], k)
     dispatch, combine = _dispatch_masks(indices, weights, e, capacity)
 
+    def dq(w):
+        # INT8 expert weights (models/quant.py quantizes moe_w1/w3/w2):
+        # dequantize into the compute dtype — XLA fuses the scale multiply
+        # into the einsum's operand read
+        from .quant import QuantizedTensor
+
+        if isinstance(w, QuantizedTensor):
+            return (w.q.astype(jnp.float32) * w.s).astype(x.dtype)
+        return w
+
     # Gather token slots: (E, C, D)
     expert_in = jnp.einsum("tec,td->ecd", dispatch, xt.astype(jnp.float32))
     expert_in = expert_in.astype(x.dtype)
     # Batched per-expert SwiGLU — one (E,C,D)x(E,D,F) MXU pass per proj.
-    hidden = jax.nn.silu(jnp.einsum("ecd,edf->ecf", expert_in, params["w1"])) \
-        * jnp.einsum("ecd,edf->ecf", expert_in, params["w3"])
-    expert_out = jnp.einsum("ecf,efd->ecd", hidden, params["w2"])
+    hidden = jax.nn.silu(
+        jnp.einsum("ecd,edf->ecf", expert_in, dq(params["w1"]))) \
+        * jnp.einsum("ecd,edf->ecf", expert_in, dq(params["w3"]))
+    expert_out = jnp.einsum("ecf,efd->ecd", hidden, dq(params["w2"]))
     out = jnp.einsum("tec,ecd->td", combine, expert_out.astype(jnp.float32))
     out = out.astype(x.dtype).reshape(orig_shape)
     aux = {"probs": probs, "indices": indices, "weights": weights,

@@ -36,6 +36,14 @@ def moe_layer_ep(mesh: Mesh, x: jnp.ndarray, params: dict, moe: MoEConfig,
     assert e % n_dev == 0, "num_experts must divide the expert axis"
     assert x.shape[0] % n_dev == 0, "tokens must divide the expert axis"
 
+    # INT8 expert weights: dequantize before the shard_map (scales are
+    # per-(expert, out-channel) so the dequant shards cleanly too)
+    from ..models.quant import QuantizedTensor
+
+    params = {k_: (v.dequantize(x.dtype)
+                   if isinstance(v, QuantizedTensor) else v)
+              for k_, v in params.items()}
+
     def fn(x, gate, w1, w3, w2):
         # x: LOCAL token shard (t_loc, D) — each device routes its own tokens
         # (the gate is replicated and tiny), packs them into a full (E, C, D)

@@ -101,3 +101,44 @@ class TestExpertParallel:
         mesh = make_mesh(data=1, expert=4, model=2)
         with pytest.raises(AssertionError):
             moe_layer_ep(mesh, jnp.zeros((8, 32)), params, moe)
+
+
+class TestQuantizedMoE:
+    def test_int8_experts_close_to_fp(self):
+        """quantize_params_int8 quantizes expert weights; the routed layer
+        must dequantize them (regression: einsum over QuantizedTensor)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from physics_llm_inference_tpu.models import (ModelConfig,
+                                                      init_params, forward,
+                                                      quantize_params_int8)
+
+        cfg = ModelConfig(vocab_size=100, hidden_dim=64, num_layers=2,
+                          num_heads=4, num_kv_heads=2, intermediate_dim=96,
+                          max_seq_len=64, dtype="float32", num_experts=4,
+                          num_experts_per_tok=2)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        qp = quantize_params_int8(params)
+        ids = (jnp.arange(12).reshape(2, 6) * 5 + 1) % 100
+        ref, _ = forward(params, ids, cfg)
+        out, _ = forward(qp, ids, cfg)
+        rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.05, rel
+
+    def test_int8_moe_generation_runs(self):
+        import jax
+        import jax.numpy as jnp
+        from physics_llm_inference_tpu.models import (ModelConfig,
+                                                      init_params,
+                                                      quantize_params_int8)
+        from physics_llm_inference_tpu.runtime import cached_generate
+
+        cfg = ModelConfig(vocab_size=100, hidden_dim=64, num_layers=2,
+                          num_heads=4, num_kv_heads=2, intermediate_dim=96,
+                          max_seq_len=64, dtype="float32", num_experts=4,
+                          num_experts_per_tok=2)
+        qp = quantize_params_int8(init_params(jax.random.PRNGKey(0), cfg))
+        out = cached_generate(qp, cfg, [[5, 9, 3]], 6, temperature=0.0,
+                              kv_dtype=jnp.int8)
+        assert out.tokens.shape == (1, 6)
