@@ -54,6 +54,14 @@ class EngineConfig:
     max_prefill_chunk: int = 512
     policy: SchedulingPolicy = SchedulingPolicy.FCFS
     kv_dtype: str | None = None     # default: model dtype
+    # Multi-step scheduling: decode up to this many tokens per device
+    # dispatch (an in-device lax.scan). Amortizes the per-step host
+    # round-trip (~2 ms on a tunneled dev TPU, ~20-50 µs locally) across
+    # the horizon, at the cost of admission granularity — the engine
+    # adaptively drops to single steps while requests are waiting, and
+    # discards horizon tokens past a stop/max_tokens. Power-of-two
+    # horizons are compiled on demand (StepCache-style).
+    decode_horizon: int = 8
 
 
 @dataclass
@@ -134,7 +142,27 @@ class InferenceEngine:
         self._start = time.monotonic()
 
         self._prefill_cache = StepCache(self._make_prefill)
-        self._decode_fn = self._make_decode()
+        self._decode_fns: dict[int, object] = {}
+        self._decode_fn = self._decode_for(1)
+
+    def _decode_for(self, horizon: int):
+        if horizon not in self._decode_fns:
+            self._decode_fns[horizon] = self._make_decode(horizon)
+        return self._decode_fns[horizon]
+
+    def _pick_horizon(self) -> int:
+        """Largest power-of-two horizon that fits every active slot's
+        remaining KV capacity; 1 while requests are waiting (admission
+        latency beats dispatch amortization when there's queued work)."""
+        if self.scheduler.waiting or self.config.decode_horizon <= 1:
+            return 1
+        active = self._lengths[self._active]
+        room = self.config.max_seq_len - 1 - (int(active.max()) if
+                                              active.size else 0)
+        h = 1
+        while h * 2 <= min(self.config.decode_horizon, max(1, room)):
+            h *= 2
+        return h
 
     # slot-axis (axis 1) views over plain arrays AND QuantKV pytrees
     @staticmethod
@@ -170,18 +198,26 @@ class InferenceEngine:
 
         return prefill
 
-    def _make_decode(self):
+    def _make_decode(self, horizon: int = 1):
         cfg = self.cfg
 
         @jax.jit
         def decode(params, k, v, tokens, lengths, rng, temps, top_ps):
-            # tokens: (B,); lengths: (B,) current per-slot fill
-            kvs = KVSlice(k, v, lengths)
-            logits, kvs = forward(params, tokens[:, None], cfg, kv=kvs,
-                                  last_only=True)
-            nxt = sample_token(logits[:, 0], rng, temperature=temps,
-                               top_p=top_ps)
-            return nxt.astype(jnp.int32), kvs.k, kvs.v
+            # tokens: (B,); lengths: (B,) current per-slot fill. Scans
+            # `horizon` steps fully in-device → (B, horizon) tokens.
+            def one(carry, _):
+                k, v, tok, lens, rng = carry
+                kvs = KVSlice(k, v, lens)
+                logits, kvs = forward(params, tok[:, None], cfg, kv=kvs,
+                                      last_only=True)
+                rng, sub = jax.random.split(rng)
+                nxt = sample_token(logits[:, 0], sub, temperature=temps,
+                                   top_p=top_ps).astype(jnp.int32)
+                return (kvs.k, kvs.v, nxt, lens + 1, rng), nxt
+
+            (k, v, _, _, _), toks = jax.lax.scan(
+                one, (k, v, tokens, lengths, rng), None, length=horizon)
+            return jnp.swapaxes(toks, 0, 1), k, v  # (B, horizon)
 
         return decode
 
@@ -324,18 +360,28 @@ class InferenceEngine:
                 tokens[s] = r.output_tokens[-1]
                 temps[s] = r.sampling.temperature
                 top_ps[s] = r.sampling.top_p
-            nxt, self._k, self._v = self._decode_fn(
+            h = self._pick_horizon()
+            toks, self._k, self._v = self._decode_for(h)(
                 self.params, self._k, self._v, jnp.asarray(tokens),
                 jnp.asarray(self._lengths), self._split_rng(),
                 jnp.asarray(temps), jnp.asarray(top_ps))
-            nxt = np.asarray(nxt)
+            toks = np.asarray(toks)  # (num_slots, h)
             for r in decode_reqs:
                 s = self._slot_of[r.request_id]
-                self._lengths[s] += 1
-                tok_i = int(nxt[s])
-                r.output_tokens.append(tok_i)
-                emitted[r.request_id] = tok_i
-                self._notify(r, tok_i)
+                # take horizon tokens until stop/max; tokens generated
+                # in-device past a stop are discarded (their KV writes are
+                # beyond the request's final length and never attended)
+                for i in range(toks.shape[1]):
+                    tok_i = int(toks[s, i])
+                    self._lengths[s] += 1
+                    r.output_tokens.append(tok_i)
+                    emitted[r.request_id] = tok_i
+                    self._notify(r, tok_i)
+                    if (r.sampling.stop_tokens
+                            and tok_i in r.sampling.stop_tokens):
+                        break
+                    if r.num_generated >= r.max_new_tokens:
+                        break
 
         # retire
         finished: list[str] = []

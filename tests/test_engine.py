@@ -70,6 +70,27 @@ class TestSingleRequest:
         assert res.finish_reason == "stop"
         assert res.tokens == free.tokens[:4]
 
+    def test_decode_horizon_parity(self, params):
+        """Multi-step decode (H tokens per dispatch) ≡ single-step greedy,
+        including stop-token trimming mid-horizon."""
+        prompt = [5, 17, 3, 42, 8]
+        ref = engine(params, decode_horizon=1).generate(
+            GenerationRequest(prompt_tokens=prompt, max_tokens=9,
+                              temperature=0.0))
+        multi = engine(params, decode_horizon=8).generate(
+            GenerationRequest(prompt_tokens=prompt, max_tokens=9,
+                              temperature=0.0))
+        np.testing.assert_array_equal(multi.tokens, ref.tokens)
+        # stop mid-horizon: output must be trimmed exactly at the stop
+        # token's FIRST occurrence (toy models repeat tokens)
+        pos, stop = next((i, t) for i, t in enumerate(ref.tokens)
+                         if ref.tokens.index(t) == i and i >= 2)
+        res = engine(params, decode_horizon=8).generate(
+            GenerationRequest(prompt_tokens=prompt, max_tokens=9,
+                              temperature=0.0, stop_tokens=(stop,)))
+        assert res.finish_reason == "stop"
+        assert res.tokens == ref.tokens[:pos + 1]
+
     def test_concurrent_generate_threads(self, params):
         """Blocking generate() from many threads: step() must serialize the
         schedule→prefill→decode iteration, or a request admitted by one
