@@ -34,11 +34,10 @@ def _rope_tables(cfg: ModelConfig):
     return rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))
-def paged_decode_step(params, tokens: jnp.ndarray,
-                      k_pools: jnp.ndarray, v_pools: jnp.ndarray,
-                      tables: jnp.ndarray, lengths: jnp.ndarray,
-                      cfg: ModelConfig):
+def _paged_decode_step_impl(params, tokens: jnp.ndarray,
+                            k_pools, v_pools,
+                            tables: jnp.ndarray, lengths: jnp.ndarray,
+                            cfg: ModelConfig):
     """One decode step for all requests over paged KV.
 
     tokens: (B,) current token per request; k_pools/v_pools:
@@ -106,6 +105,44 @@ def paged_decode_step(params, tokens: jnp.ndarray,
     x = rms_norm(x, params["norm"], cfg.norm_eps)
     logits = _linear(x, params["lm_head"]).astype(jnp.float32)
     return logits[:, 0], k_pools, v_pools
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))
+def paged_decode_step(params, tokens: jnp.ndarray,
+                      k_pools, v_pools,
+                      tables: jnp.ndarray, lengths: jnp.ndarray,
+                      cfg: ModelConfig):
+    """Jitted single decode step (see _paged_decode_step_impl)."""
+    return _paged_decode_step_impl(params, tokens, k_pools, v_pools,
+                                   tables, lengths, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg", "horizon"), donate_argnums=(2, 3))
+def paged_decode_scan(params, tokens: jnp.ndarray,
+                      k_pools, v_pools,
+                      tables: jnp.ndarray, lengths: jnp.ndarray,
+                      rng: jax.Array, temps: jnp.ndarray,
+                      top_ps: jnp.ndarray, cfg: ModelConfig,
+                      horizon: int = 1):
+    """Multi-step paged decode: `horizon` tokens per dispatch, fully
+    in-device (sampling included) — the paged engine's multi-step
+    scheduling path (EngineConfig.decode_horizon equivalent). Block tables
+    must already cover lengths+horizon (the engine pre-extends). Returns
+    (tokens (B, horizon), k_pools, v_pools)."""
+    from ..ops.sampling import sample_token
+
+    def one(carry, _):
+        tok, k, v, lens, rng = carry
+        logits, k, v = _paged_decode_step_impl(params, tok, k, v, tables,
+                                               lens, cfg)
+        rng, sub = jax.random.split(rng)
+        nxt = sample_token(logits, sub, temperature=temps,
+                           top_p=top_ps).astype(jnp.int32)
+        return (nxt, k, v, lens + 1, rng), nxt
+
+    (_, k_pools, v_pools, _, _), toks = jax.lax.scan(
+        one, (tokens, k_pools, v_pools, lengths, rng), None, length=horizon)
+    return jnp.swapaxes(toks, 0, 1), k_pools, v_pools
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))

@@ -229,12 +229,18 @@ class InferenceEngine:
 
         t0 = _t.monotonic()
         c = self.config
-        jax.block_until_ready(self._decode_fn(
-            self.params, self._k, self._v,
-            jnp.zeros(c.num_slots, jnp.int32),
-            jnp.zeros(c.num_slots, jnp.int32), self._split_rng(),
-            jnp.ones(c.num_slots, jnp.float32),
-            jnp.ones(c.num_slots, jnp.float32))[0])
+        horizons = {1}
+        hh = 1
+        while hh * 2 <= c.decode_horizon:
+            hh *= 2
+            horizons.add(hh)
+        for h in sorted(horizons):
+            jax.block_until_ready(self._decode_for(h)(
+                self.params, self._k, self._v,
+                jnp.zeros(c.num_slots, jnp.int32),
+                jnp.zeros(c.num_slots, jnp.int32), self._split_rng(),
+                jnp.ones(c.num_slots, jnp.float32),
+                jnp.ones(c.num_slots, jnp.float32))[0])
         for pb in (buckets or c.prompt_buckets):
             if pb > c.max_seq_len:
                 continue

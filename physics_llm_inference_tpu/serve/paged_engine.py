@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.config import ModelConfig
-from ..models.paged_transformer import paged_decode_step, paged_prefill_chunk
+from ..models.paged_transformer import (paged_decode_scan,
+                                        paged_prefill_chunk)
 from ..native import make_radix_cache
 from ..ops.sampling import SamplingParams, sample_token
 from ..runtime.paged_kv import PagedKVCache
@@ -48,6 +49,11 @@ class PagedEngineConfig:
     policy: SchedulingPolicy = SchedulingPolicy.FCFS
     enable_radix: bool = True
     kv_dtype: str | None = None
+    # Multi-step scheduling: decode up to this many tokens per device
+    # dispatch (in-device lax.scan, sampling included). The engine
+    # pre-extends block tables to cover the horizon, drops to single steps
+    # while requests are waiting, and discards tokens past a stop.
+    decode_horizon: int = 8
 
 
 class PagedInferenceEngine:
@@ -210,11 +216,20 @@ class PagedInferenceEngine:
         import time as _t
 
         t0 = _t.monotonic()
-        logits, self._k, self._v = paged_decode_step(
-            self.params, jnp.zeros(self.config.max_batch, jnp.int32),
-            self._k, self._v, jnp.asarray(self._tables),
-            jnp.asarray(self._lengths), self.cfg)
-        jax.block_until_ready(logits)
+        c = self.config
+        horizons = {1}
+        hh = 1
+        while hh * 2 <= c.decode_horizon:
+            hh *= 2
+            horizons.add(hh)
+        for h in sorted(horizons):
+            toks, self._k, self._v = paged_decode_scan(
+                self.params, jnp.zeros(c.max_batch, jnp.int32),
+                self._k, self._v, jnp.asarray(self._tables),
+                jnp.asarray(self._lengths), self._split_rng(),
+                jnp.ones(c.max_batch, jnp.float32),
+                jnp.ones(c.max_batch, jnp.float32), self.cfg, horizon=h)
+            jax.block_until_ready(toks)
         trash_table = jnp.full((self.config.max_blocks_per_request,),
                                self._trash, jnp.int32)
         for cb in (buckets or self.config.prompt_buckets):
@@ -328,13 +343,24 @@ class PagedInferenceEngine:
             self._notify(r, tok_i)
 
         # ---- grow KV for decoding requests; relieve pressure if needed
+        # horizon: tokens decoded per dispatch (1 while requests wait —
+        # admission latency beats dispatch amortization under queue
+        # pressure; also bounded by table capacity headroom)
+        c = self.config
+        h = 1
+        if not self.scheduler.waiting and c.decode_horizon > 1:
+            cap = c.max_blocks_per_request * c.block_size
+            lens = self._lengths[self._active]
+            room = cap - 1 - (int(lens.max()) if lens.size else 0)
+            while h * 2 <= min(c.decode_horizon, max(1, room)):
+                h *= 2
         decode_reqs = []
         for r in out.decode:
             if r.request_id not in self._row_of or r.is_done():
                 continue
             rid = r.kv_request_id or r.request_id
             row = self._row_of[r.request_id]
-            needed = int(self._lengths[row]) + 1
+            needed = int(self._lengths[row]) + h
             tbl = self.pool.tables[rid]
             if self.pool.blocks_needed(needed) > tbl.num_blocks():
                 if not self.pool.free_blocks:
@@ -351,9 +377,13 @@ class PagedInferenceEngine:
                 if not self.pool.free_blocks:
                     continue  # still full: request waits this iteration
             try:
-                fresh = self.pool.extend(rid, 1)
+                fresh = self.pool.extend(rid, h)
             except RuntimeError:
-                continue
+                try:
+                    fresh = self.pool.extend(rid, 1)
+                    h = 1  # pool too tight for the horizon this iteration
+                except RuntimeError:
+                    continue
             if fresh:
                 self._sync_table_row(row, rid)
             decode_reqs.append(r)
@@ -368,21 +398,28 @@ class PagedInferenceEngine:
                 tokens[row] = r.output_tokens[-1]
                 temps[row] = r.sampling.temperature
                 top_ps[row] = r.sampling.top_p
-            logits, self._k, self._v = paged_decode_step(
+            toks, self._k, self._v = paged_decode_scan(
                 self.params, jnp.asarray(tokens), self._k, self._v,
                 jnp.asarray(self._tables), jnp.asarray(self._lengths),
-                self.cfg)
-            nxt = sample_token(logits, self._split_rng(),
-                               temperature=jnp.asarray(temps),
-                               top_p=jnp.asarray(top_ps))
-            nxt = np.array(nxt)
+                self._split_rng(), jnp.asarray(temps), jnp.asarray(top_ps),
+                self.cfg, horizon=h)
+            toks = np.asarray(toks)  # (max_batch, h)
             for r in decode_reqs:
                 row = self._row_of[r.request_id]
-                self._lengths[row] += 1
-                tok_i = int(nxt[row])
-                r.output_tokens.append(tok_i)
-                emitted[r.request_id] = tok_i
-                self._notify(r, tok_i)
+                # take tokens until stop/max; in-device tokens past a stop
+                # are discarded (their KV writes land in reserved blocks
+                # beyond the final length and are never attended)
+                for i in range(toks.shape[1]):
+                    tok_i = int(toks[row, i])
+                    self._lengths[row] += 1
+                    r.output_tokens.append(tok_i)
+                    emitted[r.request_id] = tok_i
+                    self._notify(r, tok_i)
+                    if (r.sampling.stop_tokens
+                            and tok_i in r.sampling.stop_tokens):
+                        break
+                    if r.num_generated >= r.max_new_tokens:
+                        break
 
         # ---- retire
         finished = []

@@ -73,6 +73,27 @@ class TestPagedParity:
         np.testing.assert_array_equal(res.tokens, ref.tokens[0])
 
 
+class TestPagedHorizon:
+    def test_horizon_parity_with_single_step(self, params):
+        """Multi-step paged decode ≡ single-step, incl. block growth across
+        the horizon and stop-token trimming."""
+        prompt = [5, 17, 3, 42, 8, 9, 1]
+        ref = engine(params, decode_horizon=1).generate(
+            GenerationRequest(prompt_tokens=prompt, max_tokens=10,
+                              temperature=0.0))
+        multi = engine(params, decode_horizon=8).generate(
+            GenerationRequest(prompt_tokens=prompt, max_tokens=10,
+                              temperature=0.0))
+        np.testing.assert_array_equal(multi.tokens, ref.tokens)
+        pos, stop = next((i, t) for i, t in enumerate(ref.tokens)
+                         if ref.tokens.index(t) == i and i >= 2)
+        res = engine(params, decode_horizon=8).generate(
+            GenerationRequest(prompt_tokens=prompt, max_tokens=10,
+                              temperature=0.0, stop_tokens=(stop,)))
+        assert res.finish_reason == "stop"
+        assert res.tokens == ref.tokens[:pos + 1]
+
+
 class TestPagedInt8:
     def test_int8_pools_greedy_close(self, params):
         """kv_dtype='int8' builds QuantKV pools and generation stays close
