@@ -272,6 +272,8 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
 
     @pl.when(t == P_DN)
     def _():
+        # f32 silu: a bf16 variant fails Mosaic lowering (f32 constants
+        # broadcast into bf16 vectors inside the logistic)
         gate = gu_scr[:, :F].astype(jnp.float32)
         up = gu_scr[:, F:].astype(jnp.float32)
         ff = jax.nn.silu(gate) * up
