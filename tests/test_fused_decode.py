@@ -43,6 +43,46 @@ def _fused(params, kv, tok, P, B):
         rope_sin_g=sin_t[pos], cfg=CFG), pos
 
 
+class TestFusedShapes:
+    """The kernel must hold parity across head/batch/cache-shape variants."""
+
+    import pytest as _pytest
+
+    @_pytest.mark.parametrize("hq,hkv,B,S", [
+        (4, 4, 8, 32),     # MHA (group 1)
+        (8, 1, 8, 32),     # MQA (single kv head)
+        (4, 2, 16, 64),    # bigger batch, deeper cache
+        (4, 2, 24, 32),    # batch not a power of two (RB=8 blocks)
+    ])
+    def test_parity(self, hq, hkv, B, S):
+        import dataclasses
+        cfg = dataclasses.replace(CFG, num_heads=hq, num_kv_heads=hkv,
+                                  hidden_dim=128 * hq)
+        P = 12
+        params = quantize_params_int8(init_params(jax.random.PRNGKey(1), cfg))
+        rng = np.random.default_rng(1)
+        ids = jnp.asarray(rng.integers(1, 256, (B, P)), jnp.int32)
+        cache = KVCache.create(cfg, B, S, dtype=jnp.int8)
+        logits_p, kv = forward(params, ids, cfg, kv=cache.as_slice(),
+                               last_only=True)
+        tok = jnp.argmax(logits_p[:, 0], -1)[:, None].astype(jnp.int32)
+        logits_ref, _ = forward(params, tok, cfg, kv=kv, last_only=True)
+
+        x = params["embed"][tok[:, 0]].astype(jnp.dtype(cfg.dtype))
+        pos = jnp.full((B,), P, jnp.int32)
+        cos_t, sin_t = rope_frequencies(cfg.head_dim, cfg.max_seq_len,
+                                        cfg.rope_theta)
+        x_out, *_ = fused_decode_step(
+            params["blocks"], x, kv.k.q, kv.k.s, kv.v.q, kv.v.s,
+            q_slot=pos, valid_from=None, rope_cos_g=cos_t[pos],
+            rope_sin_g=sin_t[pos], cfg=cfg)
+        xn = rms_norm(x_out[:, None], params["norm"], cfg.norm_eps)
+        logits_f = _linear(xn, params["lm_head"]).astype(jnp.float32)
+        rel = float(jnp.linalg.norm(logits_f[:, 0] - logits_ref[:, 0])
+                    / jnp.linalg.norm(logits_ref[:, 0]))
+        assert rel < 0.03, (hq, hkv, B, S, rel)
+
+
 class TestFusedDecodeParity:
     def test_logits_match_per_op_path(self):
         B = 8
