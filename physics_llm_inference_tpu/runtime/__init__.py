@@ -5,9 +5,11 @@ from .generate import (
     GenerationOutput, cached_generate, naive_generate, pad_and_stack,
 )
 from .step_cache import StepCache, bucket_for
+from .speculative import speculative_generate, ngram_propose
 
 __all__ = [
     "KVCache", "calculate_kv_cache_size",
     "GenerationOutput", "cached_generate", "naive_generate", "pad_and_stack",
     "StepCache", "bucket_for",
+    "speculative_generate", "ngram_propose",
 ]
