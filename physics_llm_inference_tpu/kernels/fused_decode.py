@@ -310,12 +310,32 @@ def _pick_tile(dim: int, target: int) -> int:
     return dim
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "write_cache",
-                                             "interpret"))
 def fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
                       rope_cos_g, rope_sin_g, cfg, slot=None,
                       write_cache: bool = False,
                       interpret: bool | None = None):
+    """Entry point: reads the tile-tuning env vars OUTSIDE the jit so they
+    participate in the compile cache key (changing FUSED_TN/FUSED_RB_BYTES
+    after a first compile takes effect instead of being silently ignored)."""
+    import os
+
+    tn_target = int(os.environ.get("FUSED_TN", "512"))
+    rb_bytes = int(os.environ.get("FUSED_RB_BYTES", str(1 << 20)))
+    return _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot,
+                              valid_from, rope_cos_g, rope_sin_g, cfg=cfg,
+                              slot=slot, write_cache=write_cache,
+                              interpret=interpret, tn_target=tn_target,
+                              rb_bytes=rb_bytes)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "write_cache",
+                                             "interpret", "tn_target",
+                                             "rb_bytes"))
+def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
+                       rope_cos_g, rope_sin_g, cfg, slot=None,
+                       write_cache: bool = False,
+                       interpret: bool | None = None,
+                       tn_target: int = 512, rb_bytes: int = 1 << 20):
     """One full decode step over all layers.
 
     params: the model's quantized "blocks" dict (stacked QuantizedTensors:
@@ -343,10 +363,6 @@ def fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
     assert flat_hd == HKV * HD
     assert (slot is not None) == write_cache
 
-    import os
-
-    tn_target = int(os.environ.get("FUSED_TN", "512"))
-    rb_bytes = int(os.environ.get("FUSED_RB_BYTES", str(1 << 20)))
     # F (not 2F) in the gcd: the GU phase needs gate/up tiles to pair up
     TN = _pick_tile(math.gcd(math.gcd(QO, D), F), tn_target)
     TK = _pick_tile(F, tn_target)

@@ -32,22 +32,57 @@ from .generate import GenerationOutput, pad_and_stack, _prefill_jit
 from .kv_cache import KVCache
 
 
-def ngram_propose(history: np.ndarray, length: int, k: int,
-                  ngram: int = 2) -> np.ndarray:
-    """Draft up to k tokens by finding the most recent earlier occurrence of
-    the trailing `ngram` and copying what followed it. Returns (k,) int32
-    (zero-padded when no match / short match)."""
-    out = np.zeros(k, dtype=np.int32)
-    if length <= ngram:
-        return out
-    tail = history[length - ngram:length]
-    # scan right-to-left over earlier positions for the most recent match
-    for start in range(length - ngram - 1, -1, -1):
-        if np.array_equal(history[start:start + ngram], tail):
-            src = history[start + ngram:min(start + ngram + k, length)]
-            out[:len(src)] = src
+class NgramIndex:
+    """Incremental n-gram → latest-position index over one request's history.
+
+    Replaces an O(length) right-to-left rescan per request per step with an
+    O(1) dict lookup, and never indexes the left-pad region (a trailing
+    n-gram of a ragged batch member must not match pad zeros). Each key
+    keeps its two most recent start positions so a lookup can skip the
+    occurrence that IS the current trailing n-gram."""
+
+    def __init__(self, history: np.ndarray, first_real: int, length: int,
+                 ngram: int):
+        self.n = ngram
+        self.first_real = first_real
+        # key -> (latest_start, previous_start | -1)
+        self.idx: dict[tuple, tuple[int, int]] = {}
+        for start in range(first_real, length - ngram + 1):
+            self.add(history, start)
+
+    def add(self, history: np.ndarray, start: int) -> None:
+        if start < self.first_real:
+            return
+        key = tuple(int(t) for t in history[start:start + self.n])
+        prev = self.idx.get(key)
+        self.idx[key] = (start, prev[0] if prev else -1)
+
+    def propose(self, history: np.ndarray, length: int, k: int) -> np.ndarray:
+        """Draft up to k tokens by copying what followed the most recent
+        EARLIER occurrence of the trailing n-gram. Returns (k,) int32
+        (zero-padded when no match / short match)."""
+        out = np.zeros(k, dtype=np.int32)
+        if length - self.first_real <= self.n:
             return out
-    return out
+        key = tuple(int(t) for t in history[length - self.n:length])
+        hit = self.idx.get(key)
+        if hit is None:
+            return out
+        start = hit[0] if hit[0] < length - self.n else hit[1]
+        if start < 0:
+            return out
+        src = history[start + self.n:min(start + self.n + k, length)]
+        out[:len(src)] = src
+        return out
+
+
+def ngram_propose(history: np.ndarray, length: int, k: int,
+                  ngram: int = 2, first_real: int = 0) -> np.ndarray:
+    """One-shot wrapper around NgramIndex (kept for tests/callers that don't
+    maintain an incremental index). `first_real` is the first non-pad
+    position of a left-padded history."""
+    return NgramIndex(history, first_real, length, ngram).propose(
+        history, length, k)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -107,6 +142,10 @@ def speculative_generate(
     done = np.zeros(b, dtype=bool)
     stops = set(stop_tokens)
 
+    first_real = p - np.asarray(lens)  # first non-pad slot per request
+    indexes = [NgramIndex(hist[i], int(first_real[i]), p, ngram)
+               for i in range(b)]
+
     def emit(i, tok):
         if done[i] or gen_counts[i] >= max_new_tokens:
             done[i] = True
@@ -115,6 +154,7 @@ def speculative_generate(
         hist[i, frontier[i]] = tok
         gen_counts[i] += 1
         frontier[i] += 1
+        indexes[i].add(hist[i], frontier[i] - ngram)
         if tok in stops or gen_counts[i] >= max_new_tokens:
             done[i] = True
 
@@ -129,8 +169,8 @@ def speculative_generate(
         drafts = np.zeros((b, draft_k), dtype=np.int32)
         for i in range(b):
             window[i, 0] = hist[i, frontier[i] - 1]
-            drafts[i] = ngram_propose(hist[i], int(frontier[i]), draft_k,
-                                      ngram)
+            drafts[i] = indexes[i].propose(hist[i], int(frontier[i]),
+                                           draft_k)
             window[i, 1:] = drafts[i]
         pos0 = np.asarray(lens) + gen_counts - 1  # rope position of window[:,0]
         preds, kv_k, kv_v = _verify_window(

@@ -298,9 +298,10 @@ class InferenceEngine:
         self._rng, sub = jax.random.split(self._rng)
         return sub
 
-    def step(self) -> dict[str, int]:
+    def step(self) -> dict[str, list[int]]:
         """One engine iteration: schedule → prefill admitted → decode running
-        → retire finished. Returns {request_id: new_token}.
+        → retire finished. Returns {request_id: [tokens emitted this step]} — with decode_horizon > 1
+        a request can emit several tokens per iteration.
 
         Holds the engine lock for the whole iteration: concurrent step()
         callers (threaded blocking generate()) would otherwise race the
@@ -311,9 +312,9 @@ class InferenceEngine:
         with self._lock:
             return self._step_locked()
 
-    def _step_locked(self) -> dict[str, int]:
+    def _step_locked(self) -> dict[str, list[int]]:
         out = self.scheduler.schedule()
-        emitted: dict[str, int] = {}
+        emitted: dict[str, list[int]] = {}
 
         for r in out.preempted:
             slot = self._slot_of.pop(r.request_id, None)
@@ -351,7 +352,7 @@ class InferenceEngine:
             tok_i = int(tok[0])  # sampled from the final chunk's last token
             r.first_token_time = time.monotonic()
             r.output_tokens.append(tok_i)
-            emitted[r.request_id] = tok_i
+            emitted.setdefault(r.request_id, []).append(tok_i)
             self._notify(r, tok_i)
 
         # one decode dispatch for the whole pool
@@ -381,7 +382,7 @@ class InferenceEngine:
                     tok_i = int(toks[s, i])
                     self._lengths[s] += 1
                     r.output_tokens.append(tok_i)
-                    emitted[r.request_id] = tok_i
+                    emitted.setdefault(r.request_id, []).append(tok_i)
                     self._notify(r, tok_i)
                     if (r.sampling.stop_tokens
                             and tok_i in r.sampling.stop_tokens):

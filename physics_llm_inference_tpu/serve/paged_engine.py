@@ -279,7 +279,7 @@ class PagedInferenceEngine:
 
     # ---------------------------------------------------------------- step
 
-    def step(self) -> dict[str, int]:
+    def step(self) -> dict[str, list[int]]:
         # Hold the engine lock for the whole iteration: concurrent step()
         # callers would race the scheduler (a request admitted by one
         # caller's schedule() shows up in another's decode set before its
@@ -287,7 +287,7 @@ class PagedInferenceEngine:
         with self._lock:
             return self._step_locked()
 
-    def _step_locked(self) -> dict[str, int]:
+    def _step_locked(self) -> dict[str, list[int]]:
         # admission starvation relief: when the pool can't fit the next
         # waiting request, reclaim radix-cached prefixes first (LRU) —
         # eviction-before-preemption order
@@ -299,7 +299,7 @@ class PagedInferenceEngine:
                 self._radix_evict(head.prompt_len + 1)
 
         out = self.scheduler.schedule()
-        emitted: dict[str, int] = {}
+        emitted: dict[str, list[int]] = {}
 
         for r in out.preempted:
             row = self._row_of.pop(r.request_id, None)
@@ -339,7 +339,7 @@ class PagedInferenceEngine:
             self._active[row] = True
             r.first_token_time = time.monotonic()
             r.output_tokens.append(tok_i)
-            emitted[r.request_id] = tok_i
+            emitted.setdefault(r.request_id, []).append(tok_i)
             self._notify(r, tok_i)
 
         # ---- grow KV for decoding requests; relieve pressure if needed
@@ -354,7 +354,7 @@ class PagedInferenceEngine:
             room = cap - 1 - (int(lens.max()) if lens.size else 0)
             while h * 2 <= min(c.decode_horizon, max(1, room)):
                 h *= 2
-        decode_reqs = []
+        candidates = []
         for r in out.decode:
             if r.request_id not in self._row_of or r.is_done():
                 continue
@@ -376,14 +376,29 @@ class PagedInferenceEngine:
                         v.output_tokens.clear()
                 if not self.pool.free_blocks:
                     continue  # still full: request waits this iteration
+            candidates.append((r, rid, row))
+
+        # Demote the horizon BEFORE any extend: every decode row shares one
+        # fixed-shape dispatch, and extend() advances table.num_tokens — a
+        # partial-h extend on earlier rows followed by a mid-loop demotion
+        # would leave those tables permanently ahead of _lengths,
+        # over-reserving pool blocks for the request's lifetime.
+        def _fresh_demand(hh: int) -> int:
+            return sum(
+                max(0, self.pool.blocks_needed(
+                    self.pool.tables[rid].num_tokens + hh)
+                    - self.pool.tables[rid].num_blocks())
+                for _, rid, _ in candidates)
+
+        while h > 1 and _fresh_demand(h) > len(self.pool.free_blocks):
+            h //= 2
+
+        decode_reqs = []
+        for r, rid, row in candidates:
             try:
                 fresh = self.pool.extend(rid, h)
             except RuntimeError:
-                try:
-                    fresh = self.pool.extend(rid, 1)
-                    h = 1  # pool too tight for the horizon this iteration
-                except RuntimeError:
-                    continue
+                continue  # pool exhausted mid-pass: waits this iteration
             if fresh:
                 self._sync_table_row(row, rid)
             decode_reqs.append(r)
@@ -413,7 +428,7 @@ class PagedInferenceEngine:
                     tok_i = int(toks[row, i])
                     self._lengths[row] += 1
                     r.output_tokens.append(tok_i)
-                    emitted[r.request_id] = tok_i
+                    emitted.setdefault(r.request_id, []).append(tok_i)
                     self._notify(r, tok_i)
                     if (r.sampling.stop_tokens
                             and tok_i in r.sampling.stop_tokens):
