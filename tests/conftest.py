@@ -18,9 +18,42 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 # Force CPU even when the ambient environment points JAX at a TPU platform
 # (e.g. JAX_PLATFORMS=axon, whose plugin overrides the env var): unit tests
 # must be fast, deterministic fp32, and able to build an 8-device mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# ---------------------------------------------------------------- slow split
+# The full suite is ~10 min single-process on CPU (most of it XLA compiles of
+# whole-model graphs). Tests matching these nodeid substrings get the `slow`
+# marker so `pytest -m "not slow"` is a <3 min fast path for drivers/CI;
+# `pytest` (no -m) still runs everything.
+SLOW_PATTERNS = (
+    "test_parallel.py::TestRingAttention",
+    "test_fused_decode.py::TestFusedShapes",
+    "test_fused_decode.py::TestFusedDecodeParity",
+    "test_engine.py::TestWarmup",
+    "test_parallel.py::test_graft_entry",
+    "test_moe_inference.py::TestExpertParallel",
+    "test_engine.py::TestSingleRequest",
+    "test_engine.py::TestContinuousBatching",
+    "test_engine.py::TestChunkedPrefill",
+    "test_paged_engine.py::TestPagedHorizon",
+    "test_paged_engine.py::test_paged_warmup",
+    "test_int8_kv.py::test_int8_kv_decode_steps_consistent",
+    "test_loader_eval.py::TestCheckpointRoundtrip",
+    "test_paged_attention.py::TestPagedDecode",
+    "test_paged_attention.py::TestInt8KVDecodeKernel",
+    "test_parallel.py::TestScalingBench",
+    "test_speculative.py",
+    "test_serve.py::TestHTTPServer",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(p in item.nodeid for p in SLOW_PATTERNS):
+            item.add_marker(pytest.mark.slow)
