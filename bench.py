@@ -82,11 +82,23 @@ def main():
     out = cached_generate(params, cfg, prompts, new_tokens, temperature=0.0,
                           kv_dtype=jnp.int8)
     log(f"compile+first run: {time.time()-t0:.1f}s")
-    out = cached_generate(params, cfg, prompts, new_tokens, temperature=0.0,
-                          kv_dtype=jnp.int8)
+    # median of 3 steady-state runs: single-run session variance on the
+    # tunneled relay measured ±3% round 1 (BENCH_r01 5905 vs in-session 6050)
+    runs = []
+    for _ in range(3):
+        out = cached_generate(params, cfg, prompts, new_tokens,
+                              temperature=0.0, kv_dtype=jnp.int8)
+        runs.append(out)
+        log(f"steady: prefill {out.prefill_s*1e3:.1f} ms, "
+            f"decode {out.decode_s*1e3:.1f} ms, "
+            f"{out.decode_tokens_per_s:.1f} tok/s")
+    runs.sort(key=lambda o: o.decode_tokens_per_s)
+    out = runs[len(runs) // 2]
     tok_s = out.decode_tokens_per_s
-    log(f"steady: prefill {out.prefill_s*1e3:.1f} ms, "
-        f"decode {out.decode_s*1e3:.1f} ms, {tok_s:.1f} tok/s")
+    # p50 TTFT: batched prefill → every request's first token lands together,
+    # so the batch prefill wall time IS each request's TTFT (BASELINE.md
+    # primary metric's second half).
+    ttft_p50_ms = out.prefill_s * 1e3
 
     # Speed-of-light decode throughput: every weight byte + live KV byte
     # crosses HBM once per step.
@@ -105,6 +117,7 @@ def main():
         "value": round(tok_s, 1),
         "unit": "tokens/s",
         "vs_baseline": round(tok_s / sol_tok_s, 4),
+        "ttft_p50_ms": round(ttft_p50_ms, 1),
     }))
 
 

@@ -58,13 +58,26 @@ class ModelConfig:
     num_experts: int = 0
     num_experts_per_tok: int = 2
     expert_capacity_factor: float = 1.25
+    # Tensor-parallel execution context. Set (via parallel/tp.py
+    # tp_local_config) on the LOCAL config a shard_map body sees: num_heads /
+    # num_kv_heads / intermediate_dim are the per-shard counts, hidden_dim
+    # stays global (activations are replicated across TP), and the forward
+    # pass psums row-parallel partial sums over `tp_axis` and all-gathers
+    # vocab-sharded logits. head_dim_override carries the true head size
+    # (hidden_dim // GLOBAL num_heads). None → single-device semantics.
+    tp_axis: str | None = None
+    tp_data_axis: str | None = None
+    head_dim_override: int | None = None
 
     def __post_init__(self):
-        assert self.hidden_dim % self.num_heads == 0
+        if self.head_dim_override is None:
+            assert self.hidden_dim % self.num_heads == 0
         assert self.num_heads % self.num_kv_heads == 0
 
     @property
     def head_dim(self) -> int:
+        if self.head_dim_override is not None:
+            return self.head_dim_override
         return self.hidden_dim // self.num_heads
 
     def param_count(self) -> int:

@@ -25,7 +25,8 @@ from ..kernels.quant import quantize_int8
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, rope_frequencies
 from .config import ModelConfig
-from .transformer import QuantKV, _linear, layer_view
+from .transformer import (QuantKV, _linear, _tp_psum, embed_lookup,
+                          layer_view, lm_logits)
 
 
 def _rope_tables(cfg: ModelConfig):
@@ -49,7 +50,7 @@ def _paged_decode_step_impl(params, tokens: jnp.ndarray,
     quantized = isinstance(k_pools, QuantKV)
     bs = (k_pools.q if quantized else k_pools).shape[2]
     hq, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    x = params["embed"][tokens][:, None, :].astype(jnp.dtype(cfg.dtype))
+    x = embed_lookup(params, tokens, cfg)[:, None, :]
     cos, sin = _rope_tables(cfg)
     positions = lengths[:, None]
     block_ids = tables[jnp.arange(b), lengths // bs]
@@ -93,17 +94,16 @@ def _paged_decode_step_impl(params, tokens: jnp.ndarray,
                 v[:, 0].astype(v_pools.dtype))
             attn = paged_decode_attention(q[:, 0], k_pools, v_pools, tables,
                                           lengths + 1, layer=l)
-        x = x + _linear(attn.reshape(b, 1, hq * hd), bp["wo"])
+        x = x + _tp_psum(_linear(attn.reshape(b, 1, hq * hd), bp["wo"]), cfg)
         h = rms_norm(x, bp["ln2"], cfg.norm_eps)
         gu = _linear(h, bp["w_gate_up"])
         gate, up = jnp.split(gu, 2, axis=-1)
-        x = x + _linear(jax.nn.silu(gate) * up, bp["w_down"])
+        x = x + _tp_psum(_linear(jax.nn.silu(gate) * up, bp["w_down"]), cfg)
         return (x, k_pools, v_pools), None
 
     (x, k_pools, v_pools), _ = lax.scan(
         body, (x, k_pools, v_pools), jnp.arange(cfg.num_layers))
-    x = rms_norm(x, params["norm"], cfg.norm_eps)
-    logits = _linear(x, params["lm_head"]).astype(jnp.float32)
+    logits = lm_logits(x, params, cfg)
     return logits[:, 0], k_pools, v_pools
 
 
@@ -117,18 +117,20 @@ def paged_decode_step(params, tokens: jnp.ndarray,
                                    tables, lengths, cfg)
 
 
-@partial(jax.jit, static_argnames=("cfg", "horizon"), donate_argnums=(2, 3))
-def paged_decode_scan(params, tokens: jnp.ndarray,
-                      k_pools, v_pools,
-                      tables: jnp.ndarray, lengths: jnp.ndarray,
-                      rng: jax.Array, temps: jnp.ndarray,
-                      top_ps: jnp.ndarray, cfg: ModelConfig,
-                      horizon: int = 1):
+def paged_decode_scan_impl(params, tokens: jnp.ndarray,
+                           k_pools, v_pools,
+                           tables: jnp.ndarray, lengths: jnp.ndarray,
+                           rng: jax.Array, temps: jnp.ndarray,
+                           top_ps: jnp.ndarray, cfg: ModelConfig,
+                           horizon: int = 1):
     """Multi-step paged decode: `horizon` tokens per dispatch, fully
     in-device (sampling included) — the paged engine's multi-step
     scheduling path (EngineConfig.decode_horizon equivalent). Block tables
     must already cover lengths+horizon (the engine pre-extends). Returns
-    (tokens (B, horizon), k_pools, v_pools)."""
+    (tokens (B, horizon), k_pools, v_pools).
+
+    Unjitted: the engine jits this directly (single device) or inside a
+    shard_map over the 'model' mesh axis (TP serving)."""
     from ..ops.sampling import sample_token
 
     def one(carry, _):
@@ -145,11 +147,14 @@ def paged_decode_scan(params, tokens: jnp.ndarray,
     return jnp.swapaxes(toks, 0, 1), k_pools, v_pools
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))
-def paged_prefill_chunk(params, ids: jnp.ndarray,
-                        k_pools: jnp.ndarray, v_pools: jnp.ndarray,
-                        table: jnp.ndarray, start: jnp.ndarray,
-                        nvalid: jnp.ndarray, cfg: ModelConfig):
+paged_decode_scan = partial(jax.jit, static_argnames=("cfg", "horizon"),
+                            donate_argnums=(2, 3))(paged_decode_scan_impl)
+
+
+def paged_prefill_chunk_impl(params, ids: jnp.ndarray,
+                             k_pools: jnp.ndarray, v_pools: jnp.ndarray,
+                             table: jnp.ndarray, start: jnp.ndarray,
+                             nvalid: jnp.ndarray, cfg: ModelConfig):
     """Prefill one chunk of ONE request into its paged blocks.
 
     ids: (1, C) chunk tokens right-padded; table: (max_blocks,) the request's
@@ -165,7 +170,7 @@ def paged_prefill_chunk(params, ids: jnp.ndarray,
     max_blocks = table.shape[0]
     prefix_cap = max_blocks * bs  # static gather width
 
-    x = params["embed"][ids].astype(jnp.dtype(cfg.dtype))
+    x = embed_lookup(params, ids, cfg)
     cos, sin = _rope_tables(cfg)
     positions = start + jnp.arange(c)[None, :]
     # scatter targets for the chunk's tokens
@@ -227,15 +232,18 @@ def paged_prefill_chunk(params, ids: jnp.ndarray,
             v_seq.transpose(0, 2, 1, 3).astype(q.dtype),
             q_offset=start, causal=True)
         attn = attn.transpose(0, 2, 1, 3).reshape(1, c, hq * hd)
-        x = x + _linear(attn, bp["wo"])
+        x = x + _tp_psum(_linear(attn, bp["wo"]), cfg)
         h = rms_norm(x, bp["ln2"], cfg.norm_eps)
         gu = _linear(h, bp["w_gate_up"])
         gate, up = jnp.split(gu, 2, axis=-1)
-        x = x + _linear(jax.nn.silu(gate) * up, bp["w_down"])
+        x = x + _tp_psum(_linear(jax.nn.silu(gate) * up, bp["w_down"]), cfg)
         return (x, k_pools, v_pools), None
 
     (x, k_pools, v_pools), _ = lax.scan(
         body, (x, k_pools, v_pools), jnp.arange(cfg.num_layers))
-    x = rms_norm(x, params["norm"], cfg.norm_eps)
-    logits = _linear(x, params["lm_head"]).astype(jnp.float32)
+    logits = lm_logits(x, params, cfg)
     return logits[0, nvalid - 1][None, :], k_pools, v_pools
+
+
+paged_prefill_chunk = partial(jax.jit, static_argnames=("cfg",),
+                              donate_argnums=(2, 3))(paged_prefill_chunk_impl)

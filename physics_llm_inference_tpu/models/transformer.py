@@ -296,10 +296,54 @@ def init_params(rng: jax.Array, cfg: ModelConfig) -> dict:
     }
 
 
+def _tp_psum(y: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """Reduce a row-parallel partial product over the TP axis. Identity in
+    single-device semantics; inside a shard_map body (cfg.tp_axis set) this
+    is the per-block all-reduce the reference only documents
+    (ref ch09/tensor_parallel.py:142-147) — XLA lowers it onto the ICI ring."""
+    if cfg.tp_axis is None:
+        return y
+    return lax.psum(y, cfg.tp_axis)
+
+
+def embed_lookup(params: dict, input_ids: jnp.ndarray,
+                 cfg: ModelConfig) -> jnp.ndarray:
+    """Token embedding in the compute dtype. Under TP (cfg.tp_axis) the
+    embedding is vocab-ROW-sharded (Megatron layout): each shard looks up
+    the ids in its row range, contributes 0 elsewhere, and one psum
+    assembles the full embedding."""
+    if cfg.tp_axis is None:
+        return params["embed"][input_ids].astype(jnp.dtype(cfg.dtype))
+    vloc = params["embed"].shape[0]
+    idx = lax.axis_index(cfg.tp_axis)
+    loc = input_ids - idx * vloc
+    ok = (loc >= 0) & (loc < vloc)
+    emb = params["embed"][jnp.clip(loc, 0, vloc - 1)]
+    x = lax.psum(jnp.where(ok[..., None], emb, 0), cfg.tp_axis)
+    return x.astype(jnp.dtype(cfg.dtype))
+
+
+def lm_logits(x: jnp.ndarray, params: dict, cfg: ModelConfig) -> jnp.ndarray:
+    """Final norm + lm_head. Under TP the head is column(vocab)-sharded, so
+    the vocab shards are all-gathered — every TP rank then samples from
+    identical full logits (rank-consistent next tokens)."""
+    x = rms_norm(x, params["norm"], cfg.norm_eps)
+    logits = _linear(x, params["lm_head"]).astype(jnp.float32)
+    if cfg.tp_axis is not None:
+        logits = lax.all_gather(logits, cfg.tp_axis, axis=logits.ndim - 1,
+                                tiled=True)
+    return logits
+
+
 def _ffn(bp: dict, h: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
     """Block FFN: dense fused SwiGLU, or routed MoE when cfg.num_experts > 0
     (ref ch09/moe_layer.py integrated into the block — the reference never
-    wires MoE into its transformer)."""
+    wires MoE into its transformer).
+
+    Under TP (cfg.tp_axis): gate_up is column-sharded and w_down row-sharded,
+    so the down projection yields a partial sum that is psum-reduced here.
+    MoE expert weights replicate across TP (they shard over the 'expert'
+    axis instead — parallel/ep.py), so the routed path needs no reduction."""
     if cfg.num_experts > 0:
         from .config import MoEConfig
         from .moe import moe_layer
@@ -313,7 +357,7 @@ def _ffn(bp: dict, h: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
         return out
     gu = _linear(h, bp["w_gate_up"])
     gate, up = jnp.split(gu, 2, axis=-1)
-    return _linear(jax.nn.silu(gate) * up, bp["w_down"])
+    return _tp_psum(_linear(jax.nn.silu(gate) * up, bp["w_down"]), cfg)
 
 
 def _attend(q, k, v, q_slots, k_slots, valid_from=None):
@@ -401,7 +445,8 @@ def block_forward(
             attn = int8_kv_decode_attention(
                 q[:, 0], k_cache.q, k_cache.s, v_cache.q, v_cache.s,
                 q_slot=slots[:, 0], valid_from=valid_from, layer=layer)
-            x = x + _linear(attn.reshape(b, 1, hq * hd), bp["wo"])
+            x = x + _tp_psum(_linear(attn.reshape(b, 1, hq * hd), bp["wo"]),
+                             cfg)
             x = x + _ffn(bp, rms_norm(x, bp["ln2"], cfg.norm_eps), cfg)
             return x, new_kv
 
@@ -425,7 +470,7 @@ def block_forward(
     else:
         attn = _attend(qT, kq, vq, slots, k_slots, valid_from)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, hq * hd)
-    x = x + _linear(attn, bp["wo"])
+    x = x + _tp_psum(_linear(attn, bp["wo"]), cfg)
     x = x + _ffn(bp, rms_norm(x, bp["ln2"], cfg.norm_eps), cfg)
     return x, new_kv
 
@@ -437,7 +482,11 @@ def _fused_decode_ok(params: dict, cfg: ModelConfig, b: int,
 
     if not (cfg.fused_decode and cfg.num_experts == 0 and cfg.use_rope
             and jax.default_backend() == "tpu"
-            and cfg.attention_impl != "dense"):
+            and cfg.attention_impl != "dense"
+            # the megakernel carries the residual stream through all layers
+            # in VMEM — row-parallel partial sums can't psum mid-kernel, so
+            # TP decode takes the per-op path (psum after wo/down)
+            and cfg.tp_axis is None):
         return False
     if not isinstance(kv.k, QuantKV):
         return False
@@ -500,7 +549,7 @@ def forward(
     prefill-and-sample). Returns (logits, new_kv).
     """
     b, s = input_ids.shape
-    x = params["embed"][input_ids].astype(jnp.dtype(cfg.dtype))
+    x = embed_lookup(params, input_ids, cfg)
 
     if positions is None:
         base = jnp.asarray(kv.start if kv is not None else 0)
@@ -578,8 +627,7 @@ def forward(
 
     if last_only:
         x = x[:, -1:, :]
-    x = rms_norm(x, params["norm"], cfg.norm_eps)
-    logits = _linear(x, params["lm_head"]).astype(jnp.float32)
+    logits = lm_logits(x, params, cfg)
     return logits, new_kv
 
 

@@ -14,6 +14,11 @@ ch09/tensor_parallel.py:40,66-68):
 from .mesh import make_mesh, local_mesh_shape
 from .tp import (
     tp_param_specs,
+    tp_param_spec_tree,
+    tp_prepare_params,
+    tp_shard_params,
+    tp_local_config,
+    tp_kv_spec,
     column_parallel_linear,
     row_parallel_linear,
     tp_mlp_shardmap,
@@ -23,6 +28,8 @@ from .ep import moe_layer_ep
 
 __all__ = [
     "make_mesh", "local_mesh_shape",
-    "tp_param_specs", "column_parallel_linear", "row_parallel_linear",
+    "tp_param_specs", "tp_param_spec_tree", "tp_prepare_params",
+    "tp_shard_params", "tp_local_config", "tp_kv_spec",
+    "column_parallel_linear", "row_parallel_linear",
     "tp_mlp_shardmap", "compute_tp_memory_savings", "moe_layer_ep",
 ]

@@ -93,11 +93,38 @@ class GenerationResult:
 
 class InferenceEngine:
     def __init__(self, params, model_cfg: ModelConfig,
-                 config: EngineConfig | None = None):
-        self.params = params
+                 config: EngineConfig | None = None, mesh=None):
+        """mesh: optional jax.sharding.Mesh with ('data', 'model') axes. When
+        given, the engine serves SHARDED: params laid out per Megatron TP
+        rules (parallel/tp.py tp_prepare_params — column/row splits + the
+        fused-projection column permutation), KV pools sharded over requests
+        ('data') and KV heads ('model'), and every prefill/decode step runs
+        as one shard_map whose row-parallel psums + logits all-gather ride
+        the ICI (models/transformer.py tp hooks). Host-side scheduling is
+        unchanged — one scheduler drives identical fixed-shape dispatches.
+        """
+        self.mesh = mesh if (mesh is not None and
+                             mesh.devices.size > 1) else None
         self.cfg = model_cfg
         self.config = config or EngineConfig()
         c = self.config
+
+        if self.mesh is not None:
+            from ..parallel.tp import (tp_kv_spec, tp_local_config,
+                                       tp_param_spec_tree, tp_prepare_params)
+
+            tp = self.mesh.shape["model"]
+            dp = self.mesh.shape["data"]
+            assert c.num_slots % dp == 0, \
+                f"num_slots {c.num_slots} must divide data axis {dp}"
+            assert model_cfg.num_kv_heads % tp == 0
+            self.params = tp_prepare_params(params, model_cfg, self.mesh)
+            self._local_cfg = tp_local_config(model_cfg, tp)
+            self._param_specs = tp_param_spec_tree(self.params)
+            self._kv_spec_fn = tp_kv_spec
+        else:
+            self.params = params
+            self._local_cfg = None
 
         kv_dtype = jnp.dtype(c.kv_dtype or model_cfg.dtype)
         if kv_dtype == jnp.int8:
@@ -116,6 +143,17 @@ class InferenceEngine:
                      model_cfg.num_kv_heads, model_cfg.head_dim)
             self._k = jnp.zeros(shape, kv_dtype)
             self._v = jnp.zeros(shape, kv_dtype)
+        self._kv_quantized = kv_dtype == jnp.int8
+        if self.mesh is not None:
+            # lay the pools out sharded: requests over 'data', KV heads over
+            # 'model' (the kv-head axis is embarrassingly parallel in GQA)
+            from jax.sharding import NamedSharding
+
+            spec = self._kv_spec_fn(self._kv_quantized)
+            put = lambda cache: jax.tree.map(
+                lambda a, s: jax.device_put(a, NamedSharding(self.mesh, s)),
+                cache, spec)
+            self._k, self._v = put(self._k), put(self._v)
 
         # slot bookkeeping: one "block" per slot
         self._slot_pool = PagedKVCache(num_blocks=c.num_slots,
@@ -177,9 +215,8 @@ class InferenceEngine:
     # ------------------------------------------------------------------ jit
 
     def _make_prefill(self, p_bucket: int):
-        cfg = self.cfg
+        cfg = self._local_cfg or self.cfg
 
-        @jax.jit
         def prefill(params, ids, k_slot, v_slot, start, nvalid, rng, temp,
                     top_p):
             # One (possibly chunked) prefill pass: ids (1, C) holds prompt
@@ -196,15 +233,36 @@ class InferenceEngine:
             tok = sample_token(last, rng, temperature=temp, top_p=top_p)
             return tok.astype(jnp.int32), kvs.k, kvs.v
 
-        return prefill
+        if self.mesh is None:
+            return jax.jit(prefill)
+        # Sharded prefill: single-request (b=1), so only the 'model' axis
+        # partitions work (KV heads / Megatron weight shards); the slot's KV
+        # view replicates over 'data' — every data shard computes the same
+        # prefill and the write-back below is consistent.
+        from jax.sharding import PartitionSpec as P
+
+        kvp = self._kv_spec_fn(self._kv_quantized, data=None)
+        fn = jax.shard_map(
+            prefill, mesh=self.mesh,
+            in_specs=(self._param_specs, P(), kvp, kvp, P(), P(), P(), P(),
+                      P()),
+            out_specs=(P(), kvp, kvp),
+            check_vma=False)
+        return jax.jit(fn)
 
     def _make_decode(self, horizon: int = 1):
-        cfg = self.cfg
+        cfg = self._local_cfg or self.cfg
+        sharded = self.mesh is not None
 
-        @jax.jit
         def decode(params, k, v, tokens, lengths, rng, temps, top_ps):
             # tokens: (B,); lengths: (B,) current per-slot fill. Scans
             # `horizon` steps fully in-device → (B, horizon) tokens.
+            if sharded and cfg.tp_data_axis is not None:
+                # independent sampling per data shard (model-axis shards
+                # keep the SAME stream — they must emit identical tokens)
+                rng = jax.random.fold_in(
+                    rng, jax.lax.axis_index(cfg.tp_data_axis))
+
             def one(carry, _):
                 k, v, tok, lens, rng = carry
                 kvs = KVSlice(k, v, lens)
@@ -219,7 +277,21 @@ class InferenceEngine:
                 one, (k, v, tokens, lengths, rng), None, length=horizon)
             return jnp.swapaxes(toks, 0, 1), k, v  # (B, horizon)
 
-        return decode
+        if not sharded:
+            return jax.jit(decode)
+        # Sharded decode: ONE shard_map covers the whole horizon scan —
+        # slots split over 'data', weights/KV-heads over 'model'; two psums
+        # per layer + the logits all-gather are the only collectives.
+        from jax.sharding import PartitionSpec as P
+
+        kvp = self._kv_spec_fn(self._kv_quantized)
+        d = P("data")
+        fn = jax.shard_map(
+            decode, mesh=self.mesh,
+            in_specs=(self._param_specs, kvp, kvp, d, d, P(), d, d),
+            out_specs=(P("data", None), kvp, kvp),
+            check_vma=False)
+        return jax.jit(fn)
 
     def warmup(self, buckets=None) -> float:
         """Precompile the decode step and the given (default: all) prompt

@@ -27,8 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.config import ModelConfig
-from ..models.paged_transformer import (paged_decode_scan,
-                                        paged_prefill_chunk)
+from ..models.paged_transformer import (paged_decode_scan_impl,
+                                        paged_prefill_chunk_impl)
 from ..native import make_radix_cache
 from ..ops.sampling import SamplingParams, sample_token
 from ..runtime.paged_kv import PagedKVCache
@@ -58,10 +58,33 @@ class PagedEngineConfig:
 
 class PagedInferenceEngine:
     def __init__(self, params, model_cfg: ModelConfig,
-                 config: PagedEngineConfig | None = None):
-        self.params = params
+                 config: PagedEngineConfig | None = None, mesh=None):
+        """mesh: optional Mesh with a 'model' axis for TP serving — params
+        Megatron-sharded (parallel/tp.py), pools sharded on the KV-head dim,
+        steps shard_mapped so the two per-layer psums + logits all-gather
+        ride ICI. The block pool is a single global resource addressed by
+        block tables, so the paged engine shards on 'model' only; request
+        (data) parallelism across paged engines is the multi-host DP layer
+        (parallel/multihost.py), not an intra-engine axis."""
         self.cfg = model_cfg
         self.config = c = config or PagedEngineConfig()
+        self.mesh = mesh if (mesh is not None
+                             and mesh.shape.get("model", 1) > 1) else None
+        if self.mesh is not None:
+            from ..parallel.tp import (tp_kv_spec, tp_local_config,
+                                       tp_param_spec_tree, tp_prepare_params)
+
+            tp = self.mesh.shape["model"]
+            assert self.mesh.shape.get("data", 1) == 1, \
+                "paged engine shards on 'model' only (DP = engine replicas)"
+            assert model_cfg.num_kv_heads % tp == 0
+            self.params = tp_prepare_params(params, model_cfg, self.mesh)
+            self._local_cfg = tp_local_config(model_cfg, tp, data_axis=None)
+            self._param_specs = tp_param_spec_tree(self.params)
+            self._kv_spec_fn = tp_kv_spec
+        else:
+            self.params = params
+            self._local_cfg = None
 
         kv_dtype = jnp.dtype(c.kv_dtype or model_cfg.dtype)
         if kv_dtype == jnp.int8:
@@ -82,6 +105,15 @@ class PagedInferenceEngine:
                           model_cfg.head_dim)
             self._k = jnp.zeros(pool_shape, kv_dtype)
             self._v = jnp.zeros(pool_shape, kv_dtype)
+        self._kv_quantized = kv_dtype == jnp.int8
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+
+            spec = self._kv_spec_fn(self._kv_quantized, data=None)
+            put = lambda cache: jax.tree.map(
+                lambda a, s: jax.device_put(a, NamedSharding(self.mesh, s)),
+                cache, spec)
+            self._k, self._v = put(self._k), put(self._v)
         self._trash = c.num_blocks  # physical row for dead writes
 
         self.pool = PagedKVCache(num_blocks=c.num_blocks,
@@ -115,6 +147,7 @@ class PagedInferenceEngine:
         self._total_tokens = 0
         self._radix_hit_tokens = 0
         self._prefill_cache = StepCache(self._make_prefill)
+        self._decode_fns: dict[int, object] = {}
 
     # -------------------------------------------------------------- radix
 
@@ -178,13 +211,49 @@ class PagedInferenceEngine:
     # ---------------------------------------------------------------- jit
 
     def _make_prefill(self, c_bucket: int):
-        cfg = self.cfg
+        cfg = self._local_cfg or self.cfg
 
         def fn(params, ids, k, v, table, start, nvalid):
-            return paged_prefill_chunk(params, ids, k, v, table, start,
-                                       nvalid, cfg)
+            return paged_prefill_chunk_impl(params, ids, k, v, table, start,
+                                            nvalid, cfg)
 
-        return jax.jit(fn, donate_argnums=(2, 3))
+        if self.mesh is None:
+            return jax.jit(fn, donate_argnums=(2, 3))
+        from jax.sharding import PartitionSpec as P
+
+        kvp = self._kv_spec_fn(self._kv_quantized, data=None)
+        sharded = jax.shard_map(
+            fn, mesh=self.mesh,
+            in_specs=(self._param_specs, P(), kvp, kvp, P(), P(), P()),
+            out_specs=(P(), kvp, kvp), check_vma=False)
+        return jax.jit(sharded, donate_argnums=(2, 3))
+
+    def _decode_for(self, horizon: int):
+        """Compiled multi-step decode for this horizon (single-device jit,
+        or one shard_map over the 'model' axis when serving sharded)."""
+        if horizon in self._decode_fns:
+            return self._decode_fns[horizon]
+        cfg = self._local_cfg or self.cfg
+
+        def fn(params, tokens, k, v, tables, lengths, rng, temps, top_ps):
+            return paged_decode_scan_impl(params, tokens, k, v, tables,
+                                          lengths, rng, temps, top_ps, cfg,
+                                          horizon=horizon)
+
+        if self.mesh is None:
+            jitted = jax.jit(fn, donate_argnums=(2, 3))
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            kvp = self._kv_spec_fn(self._kv_quantized, data=None)
+            jitted = jax.jit(jax.shard_map(
+                fn, mesh=self.mesh,
+                in_specs=(self._param_specs, P(), kvp, kvp, P(), P(), P(),
+                          P(), P()),
+                out_specs=(P(), kvp, kvp), check_vma=False),
+                donate_argnums=(2, 3))
+        self._decode_fns[horizon] = jitted
+        return jitted
 
     # ------------------------------------------------------------ requests
 
@@ -223,12 +292,12 @@ class PagedInferenceEngine:
             hh *= 2
             horizons.add(hh)
         for h in sorted(horizons):
-            toks, self._k, self._v = paged_decode_scan(
+            toks, self._k, self._v = self._decode_for(h)(
                 self.params, jnp.zeros(c.max_batch, jnp.int32),
                 self._k, self._v, jnp.asarray(self._tables),
                 jnp.asarray(self._lengths), self._split_rng(),
                 jnp.ones(c.max_batch, jnp.float32),
-                jnp.ones(c.max_batch, jnp.float32), self.cfg, horizon=h)
+                jnp.ones(c.max_batch, jnp.float32))
             jax.block_until_ready(toks)
         trash_table = jnp.full((self.config.max_blocks_per_request,),
                                self._trash, jnp.int32)
@@ -413,11 +482,10 @@ class PagedInferenceEngine:
                 tokens[row] = r.output_tokens[-1]
                 temps[row] = r.sampling.temperature
                 top_ps[row] = r.sampling.top_p
-            toks, self._k, self._v = paged_decode_scan(
+            toks, self._k, self._v = self._decode_for(h)(
                 self.params, jnp.asarray(tokens), self._k, self._v,
                 jnp.asarray(self._tables), jnp.asarray(self._lengths),
-                self._split_rng(), jnp.asarray(temps), jnp.asarray(top_ps),
-                self.cfg, horizon=h)
+                self._split_rng(), jnp.asarray(temps), jnp.asarray(top_ps))
             toks = np.asarray(toks)  # (max_batch, h)
             for r in decode_reqs:
                 row = self._row_of[r.request_id]
