@@ -74,8 +74,8 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
             x_scr, h_scr, qkv_scr, q_scr, kcur_scr, vcur_scr, attn_scr,
             gu_scr, k8_scr, v8_scr, kscl_scr, vscl_scr, a8_scr, asc_scr,
             *, cfgk):
-    (L, B, S, D, F, HQ, HKV, HD, QO, TN, TK, RB, nq, na, nwo, ngu, ndn,
-     eps, write_cache, act8) = cfgk
+    (L, B, S, D, F, HQ, HKV, HD, QO, TNQ, TNW, TNG, TK, RB, nq, na, nwo,
+     ngu, ndn, eps, write_cache, act8) = cfgk
     l = pl.program_id(0)
     t = pl.program_id(1)
     P_ATTN, P_WO = nq, nq + na
@@ -117,12 +117,12 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
         else:
             h_scr[:] = hf.astype(h_scr.dtype)
 
-    # ---- QKV: qkv[:, j·TN:(j+1)·TN] = h @ wqkv_tile · scale ----
+    # ---- QKV: qkv[:, j·TNQ:(j+1)·TNQ] = h @ wqkv_tile · scale ----
     @pl.when(t < nq)
     def _():
         j = t
         acc = _mm(h_scr[...], wqkv_ref[0], D)
-        qkv_scr[:, pl.ds(j * TN, TN)] = (acc * sqkv_ref[0]).astype(
+        qkv_scr[:, pl.ds(j * TNQ, TNQ)] = (acc * sqkv_ref[0]).astype(
             qkv_scr.dtype)
 
     # ---- glue: RoPE + KV quantize, folded into the first ATTN step ----
@@ -250,7 +250,7 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
     def _():
         j = t - P_WO
         acc = _mm(attn_scr[...], wo_ref[0], HQ * HD)
-        x_scr[:, pl.ds(j * TN, TN)] += acc * swo_ref[0]
+        x_scr[:, pl.ds(j * TNW, TNW)] += acc * swo_ref[0]
 
     @pl.when(t == P_GU)
     def _():
@@ -267,7 +267,7 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
     def _():
         j = t - P_GU
         acc = _mm(h_scr[...], wgu_ref[0], D)
-        gu_scr[:, pl.ds(j * TN, TN)] = (acc * sgu_ref[0]).astype(
+        gu_scr[:, pl.ds(j * TNG, TNG)] = (acc * sgu_ref[0]).astype(
             gu_scr.dtype)
 
     @pl.when(t == P_DN)
@@ -363,24 +363,34 @@ def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
     assert flat_hd == HKV * HD
     assert (slot is not None) == write_cache
 
-    # F (not 2F) in the gcd: the GU phase needs gate/up tiles to pair up
-    TN = _pick_tile(math.gcd(math.gcd(QO, D), F), tn_target)
+    # Per-PHASE tile widths: each matmul stream picks the largest
+    # target-bounded tile dividing ITS OWN output dim. A single global
+    # gcd-based width collapses to 128-256 whenever F has an odd factor
+    # (Llama F=11008 = 2^8·43 forces TN=256 → 177 grid steps/layer at 7B,
+    # each paying pipeline prologue/epilogue); per-phase widths keep
+    # QKV/WO at 512+ regardless. GU tiles may cross the gate/up boundary
+    # inside gu_scr — the silu step reads the halves by offset, not by
+    # tile, so only 2F-divisibility matters. TK must divide F (the DOWN
+    # phase re-reads ff from the gate half of gu_scr).
+    TNQ = _pick_tile(QO, tn_target)
+    TNW = _pick_tile(D, tn_target)
+    TNG = _pick_tile(2 * F, tn_target)
     TK = _pick_tile(F, tn_target)
     RB = B
     for rb in range(8, B + 1, 8):
         if B % rb == 0 and rb * S * flat_hd >= rb_bytes:
             RB = rb
             break
-    nq, na, nwo = QO // TN, B // RB, D // TN
-    ngu, ndn = 2 * F // TN, F // TK
+    nq, na, nwo = QO // TNQ, B // RB, D // TNW
+    ngu, ndn = 2 * F // TNG, F // TK
     T = nq + na + nwo + ngu + ndn
 
     wqkv, wo = params["wqkv"], params["wo"]
     wgu, wdn = params["w_gate_up"], params["w_down"]
 
     act8 = getattr(cfg, "act_quant", "none") == "int8"
-    cfgk = (L, B, S, D, F, HQ, HKV, HD, QO, TN, TK, RB, nq, na, nwo, ngu,
-            ndn, cfg.norm_eps, write_cache, act8)
+    cfgk = (L, B, S, D, F, HQ, HKV, HD, QO, TNQ, TNW, TNG, TK, RB, nq, na,
+            nwo, ngu, ndn, cfg.norm_eps, write_cache, act8)
     kernel = functools.partial(_kernel, cfgk=cfgk)
 
     P_ATTN, P_WO = nq, nq + na
@@ -455,18 +465,18 @@ def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
                 pl.BlockSpec((B, D), lambda l, t, sr: (0, 0)),          # x0
                 pl.BlockSpec((1, 1, D), lambda l, t, sr: (l, 0, 0)),    # ln1
                 pl.BlockSpec((1, 1, D), lambda l, t, sr: (l, 0, 0)),    # ln2
-                pl.BlockSpec((1, D, TN), win(0, nq,                     # wqkv
-                                             lambda l, j: (l, 0, j))),
-                pl.BlockSpec((1, 1, TN), win(0, nq,
-                                             lambda l, j: (l, 0, j))),
-                pl.BlockSpec((1, HQ * HD, TN), win(P_WO, P_GU,          # wo
-                                                   lambda l, j: (l, 0, j))),
-                pl.BlockSpec((1, 1, TN), win(P_WO, P_GU,
-                                             lambda l, j: (l, 0, j))),
-                pl.BlockSpec((1, D, TN), win(P_GU, P_DN,                # wgu
-                                             lambda l, j: (l, 0, j))),
-                pl.BlockSpec((1, 1, TN), win(P_GU, P_DN,
-                                             lambda l, j: (l, 0, j))),
+                pl.BlockSpec((1, D, TNQ), win(0, nq,                    # wqkv
+                                              lambda l, j: (l, 0, j))),
+                pl.BlockSpec((1, 1, TNQ), win(0, nq,
+                                              lambda l, j: (l, 0, j))),
+                pl.BlockSpec((1, HQ * HD, TNW), win(P_WO, P_GU,         # wo
+                                                    lambda l, j: (l, 0, j))),
+                pl.BlockSpec((1, 1, TNW), win(P_WO, P_GU,
+                                              lambda l, j: (l, 0, j))),
+                pl.BlockSpec((1, D, TNG), win(P_GU, P_DN,               # wgu
+                                              lambda l, j: (l, 0, j))),
+                pl.BlockSpec((1, 1, TNG), win(P_GU, P_DN,
+                                              lambda l, j: (l, 0, j))),
                 pl.BlockSpec((1, TK, D), win(P_DN, P_DN + ndn,          # wdn
                                              lambda l, j: (l, j, 0))),
                 pl.BlockSpec((1, 1, D), lambda l, t, sr: (l, 0, 0)),    # sdn

@@ -52,13 +52,22 @@ def router(x: jnp.ndarray, gate: jnp.ndarray, top_k: int):
 
 
 def _dispatch_masks(indices: jnp.ndarray, weights: jnp.ndarray,
-                    num_experts: int, capacity: int):
+                    num_experts: int, capacity: int,
+                    valid: jnp.ndarray | None = None):
     """Build (T, K, E) one-hot routing with per-expert slot positions.
 
     Returns dispatch (T, E, C) bool and combine (T, E, C) f32 tensors.
+
+    valid (T,) bool masks PADDING tokens out of routing entirely: without
+    it, left-padded batches route their pad tokens first (the capacity
+    cumsum is token-ordered), and a run of identical pads can claim an
+    expert's whole capacity before any real token — dropping real tokens
+    from their experts.
     """
     t, k = indices.shape
     onehot = jax.nn.one_hot(indices, num_experts, dtype=jnp.int32)  # (T, K, E)
+    if valid is not None:
+        onehot = onehot * valid.reshape(t, 1, 1).astype(jnp.int32)
     flat = onehot.reshape(t * k, num_experts)
     # Slot index of each (token, choice) within its expert, in token order.
     pos_in_expert = jnp.cumsum(flat, axis=0) - flat  # (T·K, E)
@@ -74,12 +83,15 @@ def _dispatch_masks(indices: jnp.ndarray, weights: jnp.ndarray,
     return dispatch, combine
 
 
-def moe_layer(x: jnp.ndarray, params: dict, moe: MoEConfig):
+def moe_layer(x: jnp.ndarray, params: dict, moe: MoEConfig,
+              valid: jnp.ndarray | None = None):
     """Routed MoE forward over (B, S, D) or (T, D).
 
     Per-expert SwiGLU (ref ExpertLayer :37-45) on capacity-grid token slots;
-    weighted combine (ref :74-81). Returns (output, aux) where aux carries the
-    router probs/indices for load-balance metrics.
+    weighted combine (ref :74-81). `valid` (broadcastable to x's token dims)
+    masks padding tokens out of routing (see _dispatch_masks). Returns
+    (output, aux) where aux carries the router probs/indices for
+    load-balance metrics.
     """
     orig_shape = x.shape
     d = x.shape[-1]
@@ -89,7 +101,9 @@ def moe_layer(x: jnp.ndarray, params: dict, moe: MoEConfig):
     capacity = max(1, int(moe.capacity_factor * t * k / e))
 
     weights, indices, probs = router(xt, params["gate"], k)
-    dispatch, combine = _dispatch_masks(indices, weights, e, capacity)
+    if valid is not None:
+        valid = jnp.broadcast_to(valid, orig_shape[:-1]).reshape(t)
+    dispatch, combine = _dispatch_masks(indices, weights, e, capacity, valid)
 
     def dq(w):
         # INT8 expert weights (models/quant.py quantizes moe_w1/w3/w2):

@@ -25,7 +25,7 @@ from ..kernels.quant import quantize_int8
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, rope_frequencies
 from .config import ModelConfig
-from .transformer import (QuantKV, _linear, _tp_psum, embed_lookup,
+from .transformer import (QuantKV, _ffn, _linear, _tp_psum, embed_lookup,
                           layer_view, lm_logits)
 
 
@@ -95,10 +95,10 @@ def _paged_decode_step_impl(params, tokens: jnp.ndarray,
             attn = paged_decode_attention(q[:, 0], k_pools, v_pools, tables,
                                           lengths + 1, layer=l)
         x = x + _tp_psum(_linear(attn.reshape(b, 1, hq * hd), bp["wo"]), cfg)
-        h = rms_norm(x, bp["ln2"], cfg.norm_eps)
-        gu = _linear(h, bp["w_gate_up"])
-        gate, up = jnp.split(gu, 2, axis=-1)
-        x = x + _tp_psum(_linear(jax.nn.silu(gate) * up, bp["w_down"]), cfg)
+        # dense fused SwiGLU or routed MoE (cfg.num_experts > 0) — the same
+        # _ffn dispatch as the slot/dense path (transformer.py), so MoE
+        # models serve through the paged engine too
+        x = x + _ffn(bp, rms_norm(x, bp["ln2"], cfg.norm_eps), cfg)
         return (x, k_pools, v_pools), None
 
     (x, k_pools, v_pools), _ = lax.scan(
@@ -233,10 +233,7 @@ def paged_prefill_chunk_impl(params, ids: jnp.ndarray,
             q_offset=start, causal=True)
         attn = attn.transpose(0, 2, 1, 3).reshape(1, c, hq * hd)
         x = x + _tp_psum(_linear(attn, bp["wo"]), cfg)
-        h = rms_norm(x, bp["ln2"], cfg.norm_eps)
-        gu = _linear(h, bp["w_gate_up"])
-        gate, up = jnp.split(gu, 2, axis=-1)
-        x = x + _tp_psum(_linear(jax.nn.silu(gate) * up, bp["w_down"]), cfg)
+        x = x + _ffn(bp, rms_norm(x, bp["ln2"], cfg.norm_eps), cfg)
         return (x, k_pools, v_pools), None
 
     (x, k_pools, v_pools), _ = lax.scan(

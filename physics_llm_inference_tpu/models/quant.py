@@ -83,7 +83,13 @@ def init_params_int8(rng, cfg) -> dict:
     qkv_out = (cfg.num_heads + 2 * cfg.num_kv_heads) * hd
 
     def qw(key, shape, fan_in):
-        q = jax.random.randint(key, shape, -127, 128, jnp.int8)
+        # generate per layer: randint over the full (L, K, N) stack
+        # materializes a 4-byte random-bits transient (~11.5 GB for a 7B
+        # w_gate_up) that OOMs a 16 GB v5e; per-layer slices keep the
+        # transient at ~1/L of that
+        keys = jax.random.split(key, shape[0])
+        q = jnp.stack([jax.random.randint(k, shape[1:], -127, 128, jnp.int8)
+                       for k in keys])
         # absmax-style scale so dequantized std ≈ fan_in**-0.5
         s = jnp.full(shape[:-2] + (1, shape[-1]),
                      (fan_in ** -0.5) / 73.9, jnp.float32)  # std(unif int8)

@@ -335,10 +335,12 @@ def lm_logits(x: jnp.ndarray, params: dict, cfg: ModelConfig) -> jnp.ndarray:
     return logits
 
 
-def _ffn(bp: dict, h: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+def _ffn(bp: dict, h: jnp.ndarray, cfg: ModelConfig,
+         valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Block FFN: dense fused SwiGLU, or routed MoE when cfg.num_experts > 0
     (ref ch09/moe_layer.py integrated into the block — the reference never
-    wires MoE into its transformer).
+    wires MoE into its transformer). `valid` masks padding tokens out of MoE
+    routing so pads can't claim expert capacity (models/moe.py).
 
     Under TP (cfg.tp_axis): gate_up is column-sharded and w_down row-sharded,
     so the down projection yields a partial sum that is psum-reduced here.
@@ -353,7 +355,7 @@ def _ffn(bp: dict, h: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
                             capacity_factor=cfg.expert_capacity_factor)
         out, _ = moe_layer(h, {"gate": bp["moe_gate"], "w1": bp["moe_w1"],
                                "w3": bp["moe_w3"], "w2": bp["moe_w2"]},
-                           moe_cfg)
+                           moe_cfg, valid=valid)
         return out
     gu = _linear(h, bp["w_gate_up"])
     gate, up = jnp.split(gu, 2, axis=-1)
@@ -412,6 +414,12 @@ def block_forward(
     if slots is None:
         slots = positions
 
+    # token validity for MoE routing: left-pad slots below valid_from must
+    # not claim expert capacity
+    ffn_valid = None
+    if cfg.num_experts > 0 and valid_from is not None:
+        ffn_valid = slots >= valid_from[:, None]
+
     on_tpu = jax.default_backend() == "tpu"
     # "auto": flash for prefill-shaped calls (enough query rows to fill MXU
     # tiles), dense for decode-shaped, int8-KV decode kernel for quantized
@@ -447,7 +455,8 @@ def block_forward(
                 q_slot=slots[:, 0], valid_from=valid_from, layer=layer)
             x = x + _tp_psum(_linear(attn.reshape(b, 1, hq * hd), bp["wo"]),
                              cfg)
-            x = x + _ffn(bp, rms_norm(x, bp["ln2"], cfg.norm_eps), cfg)
+            x = x + _ffn(bp, rms_norm(x, bp["ln2"], cfg.norm_eps), cfg,
+                         valid=ffn_valid)
             return x, new_kv
 
         if layer is None:
@@ -471,7 +480,8 @@ def block_forward(
         attn = _attend(qT, kq, vq, slots, k_slots, valid_from)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, hq * hd)
     x = x + _tp_psum(_linear(attn, bp["wo"]), cfg)
-    x = x + _ffn(bp, rms_norm(x, bp["ln2"], cfg.norm_eps), cfg)
+    x = x + _ffn(bp, rms_norm(x, bp["ln2"], cfg.norm_eps), cfg,
+                 valid=ffn_valid)
     return x, new_kv
 
 
@@ -498,11 +508,10 @@ def _fused_decode_ok(params: dict, cfg: ModelConfig, b: int,
     d, f, hd = cfg.hidden_dim, cfg.intermediate_dim, cfg.head_dim
     qo = (cfg.num_heads + 2 * cfg.num_kv_heads) * hd
     s_max = kv.k.q.shape[2]
-    import math as _math
-
-    tn = _math.gcd(_math.gcd(qo, d), f)
-    return (hd % 128 == 0 and b % 8 == 0 and tn % 128 == 0
-            and f % 128 == 0 and s_max % 8 == 0
+    # per-phase tile widths (kernels/fused_decode.py): each stream needs a
+    # >=128 tile dividing its own output dim
+    return (hd % 128 == 0 and b % 8 == 0 and qo % 128 == 0
+            and d % 128 == 0 and f % 128 == 0 and s_max % 8 == 0
             and 8 * s_max * cfg.num_kv_heads * hd <= (8 << 20))
 
 

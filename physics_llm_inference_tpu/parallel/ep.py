@@ -36,15 +36,23 @@ def moe_layer_ep(mesh: Mesh, x: jnp.ndarray, params: dict, moe: MoEConfig,
     assert e % n_dev == 0, "num_experts must divide the expert axis"
     assert x.shape[0] % n_dev == 0, "tokens must divide the expert axis"
 
-    # INT8 expert weights: dequantize before the shard_map (scales are
-    # per-(expert, out-channel) so the dequant shards cleanly too)
+    # INT8 expert weights stay INT8 through the sharding boundary: q and s
+    # leaves are sharded on the expert dim and dequantized per-LOCAL-expert
+    # inside the einsum (XLA fuses the convert+scale into the operand read),
+    # so each device's HBM holds and streams 1 byte/weight — dequantizing
+    # before the shard_map would materialize the whole expert stack in
+    # compute dtype exactly where weights are biggest.
     from ..models.quant import QuantizedTensor
 
-    params = {k_: (v.dequantize(x.dtype)
-                   if isinstance(v, QuantizedTensor) else v)
-              for k_, v in params.items()}
+    compute_dtype = x.dtype
+
+    def _dq(w):
+        if isinstance(w, QuantizedTensor):
+            return (w.q.astype(jnp.float32) * w.s).astype(compute_dtype)
+        return w
 
     def fn(x, gate, w1, w3, w2):
+        w1, w3, w2 = _dq(w1), _dq(w3), _dq(w2)
         # x: LOCAL token shard (t_loc, D) — each device routes its own tokens
         # (the gate is replicated and tiny), packs them into a full (E, C, D)
         # capacity grid, and a2a delivers each expert's slots to its owner.

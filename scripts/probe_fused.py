@@ -67,7 +67,10 @@ def main():
     vfrom = jnp.zeros((B,), jnp.int32)
 
     @jax.jit
-    def run(x0, kq, ks, vq, vs):
+    def run(blocks, x0, kq, ks, vq, vs):
+        # blocks as an ARGUMENT: closing over them bakes 5.7 GB of weights
+        # into the jaxpr as captured constants — massive lowering + transfer
+        # over the tunnel
         def step(carry, i):
             x, kq, ks, vq, vs = carry
             slot = args.start + i
@@ -88,12 +91,12 @@ def main():
         return carry[0]
 
     t0 = time.time()
-    out, _ = readout_timed(lambda: run(x0, kq, ks, vq, vs))
+    out, _ = readout_timed(lambda: run(blocks, x0, kq, ks, vq, vs))
     print(f"compile+first: {time.time()-t0:.1f}s", flush=True)
 
     times = []
     for _ in range(3):
-        out, dt = readout_timed(lambda: run(x0, kq, ks, vq, vs))
+        out, dt = readout_timed(lambda: run(blocks, x0, kq, ks, vq, vs))
         times.append(dt)
     dt = min(times)
     per_step = dt / args.steps
