@@ -25,6 +25,13 @@ from .tp import (
     compute_tp_memory_savings,
 )
 from .ep import moe_layer_ep
+from .multihost import (
+    initialize_multihost,
+    pod_mesh,
+    is_leader,
+    broadcast_bytes,
+    DPServingGroup,
+)
 
 __all__ = [
     "make_mesh", "local_mesh_shape",
@@ -32,4 +39,6 @@ __all__ = [
     "tp_shard_params", "tp_local_config", "tp_kv_spec",
     "column_parallel_linear", "row_parallel_linear",
     "tp_mlp_shardmap", "compute_tp_memory_savings", "moe_layer_ep",
+    "initialize_multihost", "pod_mesh", "is_leader", "broadcast_bytes",
+    "DPServingGroup",
 ]

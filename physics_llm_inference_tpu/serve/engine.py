@@ -182,6 +182,11 @@ class InferenceEngine:
         self._prefill_cache = StepCache(self._make_prefill)
         self._decode_fns: dict[int, object] = {}
         self._decode_fn = self._decode_for(1)
+        # Dispatch trace: when set to a list, every jitted dispatch records
+        # (kind, shape-params, slots). Multi-host DP (parallel/multihost.py)
+        # requires this sequence to be identical on every host — the
+        # determinism tests compare traces across engine replicas.
+        self.dispatch_trace: list | None = None
 
     def _decode_for(self, horizon: int):
         if horizon not in self._decode_fns:
@@ -409,6 +414,9 @@ class InferenceEngine:
                 ids = np.zeros((1, c_bucket), dtype=np.int32)
                 ids[0, :n] = r.prompt_tokens[pos:pos + n]
                 fn = self._prefill_cache.get(c_bucket)
+                if self.dispatch_trace is not None:
+                    self.dispatch_trace.append(
+                        ("prefill", c_bucket, slot, pos, n))
                 tok, k_new, v_new = fn(
                     self.params, jnp.asarray(ids),
                     self._kv_slot(self._k, slot), self._kv_slot(self._v, slot),
@@ -440,6 +448,10 @@ class InferenceEngine:
                 temps[s] = r.sampling.temperature
                 top_ps[s] = r.sampling.top_p
             h = self._pick_horizon()
+            if self.dispatch_trace is not None:
+                self.dispatch_trace.append(
+                    ("decode", h, tuple(int(self._slot_of[r.request_id])
+                                        for r in decode_reqs)))
             toks, self._k, self._v = self._decode_for(h)(
                 self.params, self._k, self._v, jnp.asarray(tokens),
                 jnp.asarray(self._lengths), self._split_rng(),

@@ -147,6 +147,8 @@ class PagedInferenceEngine:
         self._total_tokens = 0
         self._radix_hit_tokens = 0
         self._prefill_cache = StepCache(self._make_prefill)
+        # see serve/engine.py: multi-host DP determinism trace
+        self.dispatch_trace: list | None = None
         self._decode_fns: dict[int, object] = {}
 
     # -------------------------------------------------------------- radix
@@ -395,6 +397,9 @@ class PagedInferenceEngine:
                 ids = np.zeros((1, cb), dtype=np.int32)
                 ids[0, :n] = r.prompt_tokens[pos:pos + n]
                 fn = self._prefill_cache.get(cb)
+                if self.dispatch_trace is not None:
+                    self.dispatch_trace.append(
+                        ("prefill", cb, row, pos, n))
                 logits, self._k, self._v = fn(
                     self.params, jnp.asarray(ids), self._k, self._v,
                     table, jnp.int32(pos), jnp.int32(n))
@@ -482,6 +487,10 @@ class PagedInferenceEngine:
                 tokens[row] = r.output_tokens[-1]
                 temps[row] = r.sampling.temperature
                 top_ps[row] = r.sampling.top_p
+            if self.dispatch_trace is not None:
+                self.dispatch_trace.append(
+                    ("decode", h, tuple(int(self._row_of[r.request_id])
+                                        for r in decode_reqs)))
             toks, self._k, self._v = self._decode_for(h)(
                 self.params, jnp.asarray(tokens), self._k, self._v,
                 jnp.asarray(self._tables), jnp.asarray(self._lengths),
