@@ -75,7 +75,7 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
             gu_scr, k8_scr, v8_scr, kscl_scr, vscl_scr, a8_scr, asc_scr,
             *, cfgk):
     (L, B, S, D, F, HQ, HKV, HD, QO, TNQ, TNW, TNG, TK, RB, nq, na, nwo,
-     ngu, ndn, eps, write_cache, act8) = cfgk
+     ngu, ndn, eps, write_cache, act8, wmajor, silu_spread, kblock) = cfgk
     l = pl.program_id(0)
     t = pl.program_id(1)
     P_ATTN, P_WO = nq, nq + na
@@ -99,14 +99,18 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
 
     def _mm(a_bf16_or_none, w_tile, width):
         # one matmul tile: bf16 activations, or int8 activations from
-        # a8_scr/asc_scr when act8 (returns f32 with act scale applied)
+        # a8_scr/asc_scr when act8 (returns f32 with act scale applied).
+        # wmajor: weight tiles are stored N-major (TN, K) so each tile's
+        # HBM read is ONE contiguous block instead of K rows of TN-byte
+        # segments — contract over the tile's LAST dim.
+        wdims = ((1,), (1,)) if wmajor else ((1,), (0,))
         if act8:
             acc = lax.dot_general(a8_scr[:, :width], w_tile,
-                                  (((1,), (0,)), ((), ())),
+                                  ((wdims[0], wdims[1]), ((), ())),
                                   preferred_element_type=jnp.int32)
             return acc.astype(jnp.float32) * asc_scr[...]
         return lax.dot_general(a_bf16_or_none, w_tile,
-                               (((1,), (0,)), ((), ())),
+                               ((wdims[0], wdims[1]), ((), ())),
                                preferred_element_type=jnp.float32)
 
     @pl.when(t == 0)
@@ -116,18 +120,42 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
             _qrow(hf, D)
         else:
             h_scr[:] = hf.astype(h_scr.dtype)
+        if kblock:
+            qkv_scr[:] = jnp.zeros_like(qkv_scr)
 
-    # ---- QKV: qkv[:, j·TNQ:(j+1)·TNQ] = h @ wqkv_tile · scale ----
-    @pl.when(t < nq)
-    def _():
-        j = t
-        acc = _mm(h_scr[...], wqkv_ref[0], D)
-        qkv_scr[:, pl.ds(j * TNQ, TNQ)] = (acc * sqkv_ref[0]).astype(
-            qkv_scr.dtype)
+    # ---- QKV ----
+    # kblock: tiles window the CONTRACTION dim and span full N — every
+    # weight DMA is one contiguous (TK·N)-byte read from the canonical
+    # (L, K, N) layout (N-windowed tiles are K strided segments of TN
+    # bytes; at TN=512 those 512-byte runs stream well under peak HBM
+    # rate). Per-output-channel scales commute with the K-sum, so each
+    # partial is scaled and accumulated: qkv += (h[:,ktile] @ w[ktile,:])·s.
+    if kblock:
+        @pl.when(t < nq)
+        def _():
+            j = t
+            a = h_scr[:, pl.ds(j * TNQ, TNQ)]
+            acc = lax.dot_general(a, wqkv_ref[0], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+            qkv_scr[:] += acc * sqkv_ref[0]
+    else:
+        # qkv[:, j·TNQ:(j+1)·TNQ] = h @ wqkv_tile · scale
+        @pl.when(t < nq)
+        def _():
+            j = t
+            acc = _mm(h_scr[...], wqkv_ref[0], D)
+            qkv_scr[:, pl.ds(j * TNQ, TNQ)] = (acc * sqkv_ref[0]).astype(
+                qkv_scr.dtype)
 
     # ---- glue: RoPE + KV quantize, folded into the first ATTN step ----
     @pl.when(t == P_ATTN)
     def _():
+        if kblock:
+            # the per-op path materializes qkv in bf16 before rope; round
+            # the f32 K-accumulator the same way so cache int8 values (and
+            # engine parity) match the unfused path bit-for-bit
+            qkv_scr[:] = qkv_scr[...].astype(jnp.bfloat16).astype(
+                qkv_scr.dtype)
         cos = cos_ref[...].astype(jnp.float32)[:, None, :]  # (B, 1, hd/2)
         sin = sin_ref[...].astype(jnp.float32)[:, None, :]
 
@@ -245,12 +273,23 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
         def _():
             _qrow(attn_scr[...].astype(jnp.float32), HQ * HD)
 
-    # ---- WO: x[:, tile] += attn @ wo_tile · scale ----
-    @pl.when((t >= P_WO) & (t < P_GU))
-    def _():
-        j = t - P_WO
-        acc = _mm(attn_scr[...], wo_ref[0], HQ * HD)
-        x_scr[:, pl.ds(j * TNW, TNW)] += acc * swo_ref[0]
+    # ---- WO ----
+    if kblock:
+        @pl.when((t >= P_WO) & (t < P_GU))
+        def _():
+            j = t - P_WO
+            a = attn_scr[:, pl.ds(j * TNW, TNW)]
+            acc = lax.dot_general(a, wo_ref[0], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+            # x_scr carries the residual: K-partials accumulate directly
+            x_scr[:] += acc * swo_ref[0]
+    else:
+        # x[:, tile] += attn @ wo_tile · scale
+        @pl.when((t >= P_WO) & (t < P_GU))
+        def _():
+            j = t - P_WO
+            acc = _mm(attn_scr[...], wo_ref[0], HQ * HD)
+            x_scr[:, pl.ds(j * TNW, TNW)] += acc * swo_ref[0]
 
     @pl.when(t == P_GU)
     def _():
@@ -259,29 +298,45 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
             _qrow(hf, D)
         else:
             h_scr[:] = hf.astype(h_scr.dtype)
+        if kblock:
+            gu_scr[:] = jnp.zeros_like(gu_scr)
 
-    # ---- GU: gu[:, tile] = h2 @ w_gate_up_tile · scale ----
-    # (a variant spreading silu/multiply across the GU tiles measured 4%
-    # SLOWER at B=128 — the batched one-pass silu wins)
-    @pl.when((t >= P_GU) & (t < P_DN))
-    def _():
-        j = t - P_GU
-        acc = _mm(h_scr[...], wgu_ref[0], D)
-        gu_scr[:, pl.ds(j * TNG, TNG)] = (acc * sgu_ref[0]).astype(
-            gu_scr.dtype)
+    # ---- GU ----
+    if kblock:
+        @pl.when((t >= P_GU) & (t < P_DN))
+        def _():
+            j = t - P_GU
+            a = h_scr[:, pl.ds(j * TNG, TNG)]
+            acc = lax.dot_general(a, wgu_ref[0], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+            gu_scr[:] += acc * sgu_ref[0]
+    else:
+        # gu[:, tile] = h2 @ w_gate_up_tile · scale
+        # (a variant spreading silu/multiply across the GU tiles measured
+        # 4% SLOWER at B=128 — the batched one-pass silu wins)
+        @pl.when((t >= P_GU) & (t < P_DN))
+        def _():
+            j = t - P_GU
+            acc = _mm(h_scr[...], wgu_ref[0], D)
+            gu_scr[:, pl.ds(j * TNG, TNG)] = (acc * sgu_ref[0]).astype(
+                gu_scr.dtype)
 
-    @pl.when(t == P_DN)
-    def _():
-        # f32 silu: a bf16 variant fails Mosaic lowering (f32 constants
-        # broadcast into bf16 vectors inside the logistic)
-        gate = gu_scr[:, :F].astype(jnp.float32)
-        up = gu_scr[:, F:].astype(jnp.float32)
-        ff = jax.nn.silu(gate) * up
-        if act8:
-            _qrow(ff, F)
-        else:
-            # reuse the gate half of gu_scr as the ff buffer
-            gu_scr[:, :F] = ff.astype(gu_scr.dtype)
+    if not (silu_spread and not act8):
+        @pl.when(t == P_DN)
+        def _():
+            # f32 silu: a bf16 variant fails Mosaic lowering (f32 constants
+            # broadcast into bf16 vectors inside the logistic)
+            def rd(v):  # kblock: bf16 round-trip matches per-op numerics
+                return (v.astype(jnp.bfloat16).astype(jnp.float32)
+                        if kblock else v.astype(jnp.float32))
+            gate = rd(gu_scr[:, :F])
+            up = rd(gu_scr[:, F:])
+            ff = jax.nn.silu(gate) * up
+            if act8:
+                _qrow(ff, F)
+            else:
+                # reuse the gate half of gu_scr as the ff buffer
+                gu_scr[:, :F] = ff.astype(gu_scr.dtype)
 
     # ---- DOWN: x += ff[:, ktile] @ w_down_tile · scale ----
     @pl.when(t >= P_DN)
@@ -293,7 +348,20 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
                                   preferred_element_type=jnp.int32)
             acc = acc.astype(jnp.float32) * asc_scr[...]
         else:
-            ff = gu_scr[:, pl.ds(j * TK, TK)]
+            if silu_spread:
+                # compute this tile's slice of silu(gate)·up inline: the
+                # one-pass silu glue step stalls the weight DMA stream for
+                # its whole VPU duration (only one grid step of lookahead
+                # is prefetched); per-tile slices hide under each DOWN
+                # tile's DMA instead. bf16 round-trip on the (possibly
+                # f32-accumulated) gate/up matches the per-op numerics.
+                gate = gu_scr[:, pl.ds(j * TK, TK)].astype(
+                    jnp.bfloat16).astype(jnp.float32)
+                up = gu_scr[:, pl.ds(F + j * TK, TK)].astype(
+                    jnp.bfloat16).astype(jnp.float32)
+                ff = (jax.nn.silu(gate) * up).astype(jnp.bfloat16)
+            else:
+                ff = gu_scr[:, pl.ds(j * TK, TK)].astype(jnp.bfloat16)
             acc = lax.dot_general(ff, wdn_ref[0], (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         x_scr[:] += acc * sdn_ref[0]
@@ -303,11 +371,389 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
         xout_ref[...] = x_scr[...].astype(xout_ref.dtype)
 
 
+def _paged_kernel(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
+                  wqkv_ref, sqkv_ref, wo_ref, swo_ref, wgu_ref, sgu_ref,
+                  wdn_ref, sdn_ref, cos_ref, sin_ref, lens_ref, *rest,
+                  cfgk):
+    """Fused whole-model decode over PAGED KV pools.
+
+    Same phase structure as _kernel; the attention phase reads each
+    request's scattered blocks through a fan of operands — RBP requests ×
+    MB table columns, each a (1, 1, bs, flat) window whose index map does
+    the block-table lookup (the indirection trick of
+    kernels/paged_attention.py, multiplied across the fan). New K/V leave
+    as scatter-mode outputs; the caller lands them in the pools with an
+    in-place XLA scatter (cheap: ~4 MB/step vs the GB-scale weight stream).
+    """
+    (L, B, S, D, F, HQ, HKV, HD, QO, TNQ, TNW, TNG, TK, RBP, MB, BS, nq,
+     na, nwo, ngu, ndn, eps, wmajor, silu_spread) = cfgk
+    # rest = 4·RBP·MB kv refs, 5 outputs, then scratches
+    nf = RBP * MB
+    kq_f = rest[0:nf]
+    ks_f = rest[nf:2 * nf]
+    vq_f = rest[2 * nf:3 * nf]
+    vs_f = rest[3 * nf:4 * nf]
+    (xout_ref, ko1_ref, ko2_ref, vo1_ref, vo2_ref,
+     x_scr, h_scr, qkv_scr, q_scr, kcur_scr, vcur_scr, attn_scr,
+     gu_scr, k8_scr, v8_scr, kscl_scr, vscl_scr) = rest[4 * nf:]
+
+    l = pl.program_id(0)
+    t = pl.program_id(1)
+    P_ATTN, P_WO = nq, nq + na
+    P_GU, P_DN = P_WO + nwo, P_WO + nwo + ngu
+    group = HQ // HKV
+    hd2 = HD // 2
+    sm_scale = 1.0 / math.sqrt(HD)
+    SC = MB * BS  # per-request KV capacity covered by the fan
+
+    @pl.when((l == 0) & (t == 0))
+    def _():
+        x_scr[:] = x0_ref[...].astype(jnp.float32)
+
+    def _mm(a, w_tile):
+        wdims = ((1,), (1,)) if wmajor else ((1,), (0,))
+        return lax.dot_general(a, w_tile, ((wdims[0], wdims[1]), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = _rms(x_scr[...], ln1_ref[0], eps).astype(h_scr.dtype)
+
+    @pl.when(t < nq)
+    def _():
+        j = t
+        acc = _mm(h_scr[...], wqkv_ref[0])
+        qkv_scr[:, pl.ds(j * TNQ, TNQ)] = (acc * sqkv_ref[0]).astype(
+            qkv_scr.dtype)
+
+    # ---- glue: RoPE + KV quantize; new K/V exit via the scatter outputs
+    @pl.when(t == P_ATTN)
+    def _():
+        cos = cos_ref[...].astype(jnp.float32)[:, None, :]
+        sin = sin_ref[...].astype(jnp.float32)[:, None, :]
+
+        def rope(flat, heads):
+            x3 = flat.astype(jnp.float32).reshape(B, heads, HD)
+            x1, x2 = x3[..., :hd2], x3[..., hd2:]
+            return jnp.concatenate([x1 * cos - x2 * sin,
+                                    x2 * cos + x1 * sin], axis=-1)
+
+        def quant(x3):
+            amax = jnp.max(jnp.abs(x3), axis=-1, keepdims=True)
+            s = jnp.maximum(amax, 1e-8) / INT8_MAX
+            q8 = jnp.clip(jnp.round(x3 / s), -127, 127).astype(jnp.int8)
+            return q8, s
+
+        q = rope(qkv_scr[:, :HQ * HD], HQ)
+        k = rope(qkv_scr[:, HQ * HD:(HQ + HKV) * HD],
+                 HKV).astype(jnp.bfloat16).astype(jnp.float32)
+        v = qkv_scr[:, (HQ + HKV) * HD:].astype(jnp.float32).reshape(
+            B, HKV, HD)
+        q_scr[:] = q.reshape(B, HQ * HD).astype(q_scr.dtype)
+        kq8, ksc = quant(k)
+        vq8, vsc = quant(v)
+        ko1_ref[0] = kq8.reshape(B, HKV * HD)
+        vo1_ref[0] = vq8.reshape(B, HKV * HD)
+        ko2_ref[0] = ksc[..., 0]
+        vo2_ref[0] = vsc[..., 0]
+        kcur_scr[:] = (kq8.astype(jnp.float32) * ksc).reshape(
+            B, HKV * HD).astype(kcur_scr.dtype)
+        vcur_scr[:] = (vq8.astype(jnp.float32) * vsc).reshape(
+            B, HKV * HD).astype(vcur_scr.dtype)
+
+    # ---- ATTN: RBP requests per step, each over its MB gathered blocks
+    @pl.when((t >= P_ATTN) & (t < P_WO))
+    def _():
+        i = t - P_ATTN
+        rows = pl.ds(i * RBP, RBP)
+        q = q_scr[rows, :].astype(jnp.float32).reshape(RBP, HQ, HD)
+        kcur = kcur_scr[rows, :].astype(jnp.float32).reshape(RBP, HKV, HD)
+        vcur = vcur_scr[rows, :].astype(jnp.float32).reshape(RBP, HKV, HD)
+        # assemble the fan: (RBP, SC, flat) int8 and (RBP, HKV, SC) scales
+        kq = jnp.stack([jnp.concatenate(
+            [kq_f[r * MB + c][0, 0] for c in range(MB)], axis=0)
+            for r in range(RBP)])
+        vq = jnp.stack([jnp.concatenate(
+            [vq_f[r * MB + c][0, 0] for c in range(MB)], axis=0)
+            for r in range(RBP)])
+        ks = jnp.stack([jnp.concatenate(
+            [ks_f[r * MB + c][0, 0] for c in range(MB)], axis=1)
+            for r in range(RBP)])
+        vs = jnp.stack([jnp.concatenate(
+            [vs_f[r * MB + c][0, 0] for c in range(MB)], axis=1)
+            for r in range(RBP)])
+        lens = lens_ref[rows, :]                          # (RBP, 1)
+        kpos = lax.broadcasted_iota(jnp.int32, (RBP, 1, SC), 2)
+        # dead columns were clamped to a live block by the index map —
+        # their duplicate content is masked off here
+        mask = kpos < lens[:, :, None]
+
+        s_parts, cur_parts = [], []
+        for h in range(HKV):
+            kh = kq[:, :, h * HD:(h + 1) * HD].astype(jnp.bfloat16)
+            qh = q[:, h * group:(h + 1) * group, :].astype(jnp.bfloat16)
+            sh = lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+            s_parts.append(sh * (ks[:, h, :][:, None, :] * sm_scale))
+            kc_h = kcur[:, h, :][:, None, :]
+            cur = jnp.sum(q[:, h * group:(h + 1) * group, :] * kc_h,
+                          axis=-1, keepdims=True)
+            cur_parts.append(cur * sm_scale)
+        s = jnp.concatenate(s_parts, axis=1)              # (RBP, HQ, SC)
+        s = jnp.where(mask, s, _NEG_INF)
+        s_cur = jnp.concatenate(cur_parts, axis=1)
+
+        m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_cur)
+        p = jnp.exp(s - m)
+        p_cur = jnp.exp(s_cur - m)
+        denom = jnp.sum(p, -1, keepdims=True) + p_cur
+        o_parts = []
+        for h in range(HKV):
+            vh = vq[:, :, h * HD:(h + 1) * HD].astype(jnp.bfloat16)
+            ph = (p[:, h * group:(h + 1) * group, :]
+                  * vs[:, h, :][:, None, :]).astype(jnp.bfloat16)
+            pv = lax.dot_general(ph, vh, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+            vc_h = vcur[:, h, :][:, None, :]
+            pv = pv + (p_cur[:, h * group:(h + 1) * group, :] * vc_h)
+            o_parts.append(pv)
+        o = jnp.concatenate(o_parts, axis=1) / denom
+        attn_scr[rows, :] = o.reshape(RBP, HQ * HD).astype(attn_scr.dtype)
+
+    @pl.when((t >= P_WO) & (t < P_GU))
+    def _():
+        j = t - P_WO
+        acc = _mm(attn_scr[...], wo_ref[0])
+        x_scr[:, pl.ds(j * TNW, TNW)] += acc * swo_ref[0]
+
+    @pl.when(t == P_GU)
+    def _():
+        h_scr[:] = _rms(x_scr[...], ln2_ref[0], eps).astype(h_scr.dtype)
+
+    @pl.when((t >= P_GU) & (t < P_DN))
+    def _():
+        j = t - P_GU
+        acc = _mm(h_scr[...], wgu_ref[0])
+        gu_scr[:, pl.ds(j * TNG, TNG)] = (acc * sgu_ref[0]).astype(
+            gu_scr.dtype)
+
+    if not silu_spread:
+        @pl.when(t == P_DN)
+        def _():
+            gate = gu_scr[:, :F].astype(jnp.float32)
+            up = gu_scr[:, F:].astype(jnp.float32)
+            gu_scr[:, :F] = (jax.nn.silu(gate) * up).astype(gu_scr.dtype)
+
+    @pl.when(t >= P_DN)
+    def _():
+        j = t - P_DN
+        if silu_spread:
+            gate = gu_scr[:, pl.ds(j * TK, TK)].astype(jnp.float32)
+            up = gu_scr[:, pl.ds(F + j * TK, TK)].astype(jnp.float32)
+            ff = (jax.nn.silu(gate) * up).astype(gu_scr.dtype)
+        else:
+            ff = gu_scr[:, pl.ds(j * TK, TK)]
+        acc = lax.dot_general(ff, wdn_ref[0], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        x_scr[:] += acc * sdn_ref[0]
+
+    @pl.when((l == L - 1) & (t == P_DN + ndn - 1))
+    def _():
+        xout_ref[...] = x_scr[...].astype(xout_ref.dtype)
+
+
+def fused_paged_decode_ok(cfg, B: int, MB: int, BS: int) -> bool:
+    """Static eligibility of the fused paged path (mirrors the dense
+    _fused_decode_ok gates): INT8 pools with TPU-tileable shapes, a fan
+    small enough for Mosaic, and phase dims the tiler can window."""
+    if getattr(cfg, "num_experts", 0) > 0 or cfg.act_quant != "none":
+        return False
+    if cfg.head_dim % 128 != 0 or cfg.hidden_dim % 128 != 0:
+        return False
+    if BS % 8 != 0 or BS * MB > 2048 or MB > 8:
+        return False
+    rbp = _paged_rbp(B, MB)
+    return rbp is not None and B % rbp == 0
+
+
+def _paged_rbp(B: int, MB: int) -> int | None:
+    """Requests per attention grid step: bound the operand fan
+    (4·RBP·MB refs) to keep Mosaic happy while amortizing grid steps."""
+    for rbp in (4, 2, 1):
+        if B % rbp == 0 and rbp * MB <= 32:
+            return rbp
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "tn_target",
+                                             "wmajor", "silu_spread"))
+def fused_paged_decode_step(params, x, kq_pool, ks_pool, vq_pool, vs_pool,
+                            tables, lengths, rope_cos_g, rope_sin_g, cfg,
+                            interpret: bool | None = None,
+                            tn_target: int = 512, wmajor: bool = False,
+                            silu_spread: bool = False):
+    """One full decode step over all layers, KV in paged INT8 pools.
+
+    kq_pool/vq_pool: (L, NB, BS, Hkv·hd) int8; ks_pool/vs_pool:
+    (L, NB, Hkv, BS) f32 (QuantKV paged layouts, serve/paged_engine.py).
+    tables: (B, MB) int32; lengths: (B,) tokens already cached (the new
+    token lands at `lengths`). Block tables must cover lengths+1.
+
+    Returns (x_out, k_new (L,B,Hkv·hd) int8, ksc (L,B,Hkv), v_new, vsc) —
+    the caller scatters new K/V into the pools (models/paged_transformer).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, D = x.shape
+    L, NB, BS, flat_hd = kq_pool.shape
+    MB = tables.shape[1]
+    HQ, HKV, HD = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    F = cfg.intermediate_dim
+    QO = (HQ + 2 * HKV) * HD
+    assert flat_hd == HKV * HD
+    RBP = _paged_rbp(B, MB)
+    assert RBP is not None, f"no RBP for B={B} MB={MB}"
+
+    TNQ = _pick_tile(QO, tn_target)
+    TNW = _pick_tile(D, tn_target)
+    TNG = _pick_tile(2 * F, tn_target)
+    TK = _pick_tile(F, tn_target)
+    nq, na, nwo = QO // TNQ, B // RBP, D // TNW
+    ngu, ndn = 2 * F // TNG, F // TK
+    T = nq + na + nwo + ngu + ndn
+    P_ATTN, P_WO = nq, nq + na
+    P_GU, P_DN = P_WO + nwo, P_WO + nwo + ngu
+
+    wqkv, wo = params["wqkv"], params["wo"]
+    wgu, wdn = params["w_gate_up"], params["w_down"]
+
+    # S slot in the tuple is unused by the paged kernel (capacity = MB·BS)
+    cfgk = (L, B, 0, D, F, HQ, HKV, HD, QO, TNQ, TNW, TNG, TK, RBP, MB, BS,
+            nq, na, nwo, ngu, ndn, cfg.norm_eps, wmajor, silu_spread)
+    kernel = functools.partial(_paged_kernel, cfgk=cfgk)
+
+    def win(lo, hi, maker):
+        return lambda l, t, tb, ln: maker(l, jnp.clip(t - lo, 0, hi - lo - 1))
+
+    def kv_map(row, col, scale):
+        def m(l, t, tb, ln):
+            i = jnp.clip(t - P_ATTN, 0, na - 1)
+            r = i * RBP + row
+            # clamp dead columns to the request's last live block so their
+            # DMA re-reads a resident block (elided) instead of garbage
+            last = jnp.maximum((ln[r] - 1) // BS, 0)
+            jj = jnp.minimum(col, last)
+            return (l, tb[r, jj], 0, 0)
+        return m
+
+    w_spec = lambda K, TN, lo, hi: (
+        pl.BlockSpec((1, TN, K), win(lo, hi, lambda l, j: (l, j, 0)))
+        if wmajor else
+        pl.BlockSpec((1, K, TN), win(lo, hi, lambda l, j: (l, 0, j))))
+    in_specs = [
+        pl.BlockSpec((B, D), lambda l, t, tb, ln: (0, 0)),            # x0
+        pl.BlockSpec((1, 1, D), lambda l, t, tb, ln: (l, 0, 0)),      # ln1
+        pl.BlockSpec((1, 1, D), lambda l, t, tb, ln: (l, 0, 0)),      # ln2
+        w_spec(D, TNQ, 0, nq),                                        # wqkv
+        pl.BlockSpec((1, 1, TNQ), win(0, nq, lambda l, j: (l, 0, j))),
+        w_spec(HQ * HD, TNW, P_WO, P_GU),                             # wo
+        pl.BlockSpec((1, 1, TNW), win(P_WO, P_GU, lambda l, j: (l, 0, j))),
+        w_spec(D, TNG, P_GU, P_DN),                                   # wgu
+        pl.BlockSpec((1, 1, TNG), win(P_GU, P_DN, lambda l, j: (l, 0, j))),
+        pl.BlockSpec((1, TK, D), win(P_DN, P_DN + ndn,                # wdn
+                                     lambda l, j: (l, j, 0))),
+        pl.BlockSpec((1, 1, D), lambda l, t, tb, ln: (l, 0, 0)),      # sdn
+        pl.BlockSpec((B, HD // 2), lambda l, t, tb, ln: (0, 0)),      # cos
+        pl.BlockSpec((B, HD // 2), lambda l, t, tb, ln: (0, 0)),      # sin
+        pl.BlockSpec((B, 1), lambda l, t, tb, ln: (0, 0)),            # lens
+    ]
+    # the KV fan: values then scales, kq → ks → vq → vs, row-major
+    fan_args = []
+    for pool, scale in ((kq_pool, False), (ks_pool, True),
+                        (vq_pool, False), (vs_pool, True)):
+        for row in range(RBP):
+            for col in range(MB):
+                if scale:
+                    in_specs.append(pl.BlockSpec(
+                        (1, 1, HKV, BS), kv_map(row, col, True)))
+                else:
+                    in_specs.append(pl.BlockSpec(
+                        (1, 1, BS, flat_hd), kv_map(row, col, False)))
+                fan_args.append(pool)
+
+    out_specs = [
+        pl.BlockSpec((B, D), lambda l, t, tb, ln: (0, 0)),
+        pl.BlockSpec((1, B, HKV * HD), lambda l, t, tb, ln: (l, 0, 0)),
+        pl.BlockSpec((1, B, HKV), lambda l, t, tb, ln: (l, 0, 0)),
+        pl.BlockSpec((1, B, HKV * HD), lambda l, t, tb, ln: (l, 0, 0)),
+        pl.BlockSpec((1, B, HKV), lambda l, t, tb, ln: (l, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, D), x.dtype),
+        jax.ShapeDtypeStruct((L, B, HKV * HD), jnp.int8),
+        jax.ShapeDtypeStruct((L, B, HKV), jnp.float32),
+        jax.ShapeDtypeStruct((L, B, HKV * HD), jnp.int8),
+        jax.ShapeDtypeStruct((L, B, HKV), jnp.float32),
+    ]
+
+    bf = jnp.bfloat16
+    lens2 = jnp.asarray(lengths, jnp.int32).reshape(B, 1)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(L, T),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((B, D), jnp.float32),        # x
+                pltpu.VMEM((B, D), bf),                 # h / h2
+                pltpu.VMEM((B, QO), bf),                # qkv
+                pltpu.VMEM((B, HQ * HD), bf),           # q (post-rope)
+                pltpu.VMEM((B, HKV * HD), bf),          # k current
+                pltpu.VMEM((B, HKV * HD), bf),          # v current
+                pltpu.VMEM((B, HQ * HD), bf),           # attn out
+                pltpu.VMEM((B, 2 * F), bf),             # gate|up → ff
+                pltpu.VMEM((B, HKV * HD), jnp.int8),    # k current int8
+                pltpu.VMEM((B, HKV * HD), jnp.int8),    # v current int8
+                pltpu.VMEM((B, HKV), jnp.float32),      # k scale
+                pltpu.VMEM((B, HKV), jnp.float32),      # v scale
+            ],
+        ),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * (L * (D * QO + HQ * HD * D + 2 * D * F + F * D)
+                           + 2 * HQ * HD * MB * BS * L),
+            bytes_accessed=(wqkv.q.nbytes + wo.q.nbytes + wgu.q.nbytes
+                            + wdn.q.nbytes
+                            + 2 * L * B * MB * BS * flat_hd),
+            transcendentals=B * HQ * MB * BS * L),
+        interpret=interpret,
+    )(tables.astype(jnp.int32), jnp.asarray(lengths, jnp.int32),
+      x, params["ln1"][:, None], params["ln2"][:, None],
+      wqkv.q, wqkv.s, wo.q, wo.s, wgu.q, wgu.s, wdn.q, wdn.s,
+      rope_cos_g, rope_sin_g, lens2, *fan_args)
+    return tuple(out)
+
+
 def _pick_tile(dim: int, target: int) -> int:
     for c in (target, 512, 256, 128):
         if c <= target and dim % c == 0:
             return c
     return dim
+
+
+def _pick_ktile(k: int, row_bytes: int, cap: int = 3 << 20) -> int:
+    """Largest power-of-2 K-tile dividing k whose (tile × N-row) block
+    stays under `cap` bytes (double-buffered tiles; int8 rows)."""
+    for c in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if k % c == 0 and c * row_bytes <= cap:
+            return c
+    return k
 
 
 def fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
@@ -321,21 +767,50 @@ def fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
 
     tn_target = int(os.environ.get("FUSED_TN", "512"))
     rb_bytes = int(os.environ.get("FUSED_RB_BYTES", str(1 << 20)))
+    silu_spread = os.environ.get("FUSED_SILU", "spread") == "spread"
+    kblock = os.environ.get("FUSED_WL", "kblock") == "kblock"
+    # N-major weights: auto-detected from the wqkv orientation (see
+    # to_nmajor) so callers holding either layout hit the right kernel
+    QO = (cfg.num_heads + 2 * cfg.num_kv_heads) * cfg.head_dim
+    wmajor = params["wqkv"].q.shape[1] == QO and QO != cfg.hidden_dim
     return _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot,
                               valid_from, rope_cos_g, rope_sin_g, cfg=cfg,
                               slot=slot, write_cache=write_cache,
                               interpret=interpret, tn_target=tn_target,
-                              rb_bytes=rb_bytes)
+                              rb_bytes=rb_bytes, wmajor=wmajor,
+                              silu_spread=silu_spread,
+                              kblock=kblock and not wmajor)
+
+
+def to_nmajor(blocks: dict) -> dict:
+    """Transpose the stacked matmul weights to N-major storage.
+
+    The kernel's weight tiles are windows over the output (N) dimension;
+    with the natural (L, K, N) layout each (K, TN) tile is K strided
+    segments of TN bytes — at TN=512 that's 512-byte DMA runs, well under
+    the size where HBM streams at full rate. Stored (L, N, K), every tile
+    is ONE contiguous (TN·K)-byte read. w_down already contracts over its
+    leading (F) dim so its tiles are contiguous either way — left as is.
+    Scales are per-output-channel (L, 1, N): unchanged.
+    """
+    out = dict(blocks)
+    for name in ("wqkv", "wo", "w_gate_up"):
+        t = blocks[name]
+        out[name] = type(t)(q=jnp.swapaxes(t.q, 1, 2), s=t.s)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "write_cache",
                                              "interpret", "tn_target",
-                                             "rb_bytes"))
+                                             "rb_bytes", "wmajor",
+                                             "silu_spread", "kblock"))
 def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
                        rope_cos_g, rope_sin_g, cfg, slot=None,
                        write_cache: bool = False,
                        interpret: bool | None = None,
-                       tn_target: int = 512, rb_bytes: int = 1 << 20):
+                       tn_target: int = 512, rb_bytes: int = 1 << 20,
+                       wmajor: bool = False, silu_spread: bool = True,
+                       kblock: bool = False):
     """One full decode step over all layers.
 
     params: the model's quantized "blocks" dict (stacked QuantizedTensors:
@@ -363,34 +838,52 @@ def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
     assert flat_hd == HKV * HD
     assert (slot is not None) == write_cache
 
-    # Per-PHASE tile widths: each matmul stream picks the largest
-    # target-bounded tile dividing ITS OWN output dim. A single global
-    # gcd-based width collapses to 128-256 whenever F has an odd factor
-    # (Llama F=11008 = 2^8·43 forces TN=256 → 177 grid steps/layer at 7B,
-    # each paying pipeline prologue/epilogue); per-phase widths keep
-    # QKV/WO at 512+ regardless. GU tiles may cross the gate/up boundary
-    # inside gu_scr — the silu step reads the halves by offset, not by
-    # tile, so only 2F-divisibility matters. TK must divide F (the DOWN
-    # phase re-reads ff from the gate half of gu_scr).
-    TNQ = _pick_tile(QO, tn_target)
-    TNW = _pick_tile(D, tn_target)
-    TNG = _pick_tile(2 * F, tn_target)
-    TK = _pick_tile(F, tn_target)
+    act8 = getattr(cfg, "act_quant", "none") == "int8"
+    if act8:
+        kblock = False  # the a8 row buffer is N-phase shaped; rarely-used knob
+    if kblock:
+        # K-blocked tiles: window the contraction dim, span full N — every
+        # weight tile is ONE contiguous HBM read from the canonical
+        # (L, K, N) layout (an N-windowed tile is K strided segments of TN
+        # bytes; 512-byte runs stream well under peak rate — measured
+        # ~14% of the step lost to it at 7B, docs/PERF.md). Partial sums
+        # accumulate in f32 scratch; per-output-channel scales commute
+        # with the K-sum so each partial is scaled independently.
+        TNQ = _pick_ktile(D, QO)
+        TNW = _pick_ktile(HQ * HD, D)
+        TNG = _pick_ktile(D, 2 * F)
+        TK = _pick_tile(F, tn_target)
+        nq, nwo, ngu = D // TNQ, HQ * HD // TNW, D // TNG
+    else:
+        # Per-PHASE tile widths: each matmul stream picks the largest
+        # target-bounded tile dividing ITS OWN output dim. A single global
+        # gcd-based width collapses to 128-256 whenever F has an odd factor
+        # (Llama F=11008 = 2^8·43 forces TN=256 → 177 grid steps/layer at
+        # 7B, each paying pipeline prologue/epilogue); per-phase widths
+        # keep QKV/WO at 512+ regardless. GU tiles may cross the gate/up
+        # boundary inside gu_scr — the silu step reads the halves by
+        # offset, not by tile, so only 2F-divisibility matters. TK must
+        # divide F (the DOWN phase re-reads ff from the gate half).
+        TNQ = _pick_tile(QO, tn_target)
+        TNW = _pick_tile(D, tn_target)
+        TNG = _pick_tile(2 * F, tn_target)
+        TK = _pick_tile(F, tn_target)
+        nq, nwo = QO // TNQ, D // TNW
+        ngu = 2 * F // TNG
     RB = B
     for rb in range(8, B + 1, 8):
         if B % rb == 0 and rb * S * flat_hd >= rb_bytes:
             RB = rb
             break
-    nq, na, nwo = QO // TNQ, B // RB, D // TNW
-    ngu, ndn = 2 * F // TNG, F // TK
+    na, ndn = B // RB, F // TK
     T = nq + na + nwo + ngu + ndn
 
     wqkv, wo = params["wqkv"], params["wo"]
     wgu, wdn = params["w_gate_up"], params["w_down"]
 
-    act8 = getattr(cfg, "act_quant", "none") == "int8"
     cfgk = (L, B, S, D, F, HQ, HKV, HD, QO, TNQ, TNW, TNG, TK, RB, nq, na,
-            nwo, ngu, ndn, cfg.norm_eps, write_cache, act8)
+            nwo, ngu, ndn, cfg.norm_eps, write_cache, act8, wmajor,
+            silu_spread, kblock)
     kernel = functools.partial(_kernel, cfgk=cfgk)
 
     P_ATTN, P_WO = nq, nq + na
@@ -465,18 +958,48 @@ def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
                 pl.BlockSpec((B, D), lambda l, t, sr: (0, 0)),          # x0
                 pl.BlockSpec((1, 1, D), lambda l, t, sr: (l, 0, 0)),    # ln1
                 pl.BlockSpec((1, 1, D), lambda l, t, sr: (l, 0, 0)),    # ln2
-                pl.BlockSpec((1, D, TNQ), win(0, nq,                    # wqkv
-                                              lambda l, j: (l, 0, j))),
-                pl.BlockSpec((1, 1, TNQ), win(0, nq,
-                                              lambda l, j: (l, 0, j))),
-                pl.BlockSpec((1, HQ * HD, TNW), win(P_WO, P_GU,         # wo
-                                                    lambda l, j: (l, 0, j))),
-                pl.BlockSpec((1, 1, TNW), win(P_WO, P_GU,
-                                              lambda l, j: (l, 0, j))),
-                pl.BlockSpec((1, D, TNG), win(P_GU, P_DN,               # wgu
-                                              lambda l, j: (l, 0, j))),
-                pl.BlockSpec((1, 1, TNG), win(P_GU, P_DN,
-                                              lambda l, j: (l, 0, j))),
+                # weight tiles — three layouts:
+                #   kblock (default): K-windowed, full-N rows → contiguous
+                #     reads from the canonical (L,K,N) storage; scales span
+                #     full N (constant per layer within the phase)
+                #   wmajor: N-windowed over transposed (L,N,K) storage
+                #   legacy: N-windowed over (L,K,N) (strided segments)
+                (pl.BlockSpec((1, TNQ, QO), win(0, nq,                  # wqkv
+                                                lambda l, j: (l, j, 0)))
+                 if kblock else
+                 pl.BlockSpec((1, TNQ, D), win(0, nq,
+                                               lambda l, j: (l, j, 0)))
+                 if wmajor else
+                 pl.BlockSpec((1, D, TNQ), win(0, nq,
+                                               lambda l, j: (l, 0, j)))),
+                (pl.BlockSpec((1, 1, QO), lambda l, t, sr: (l, 0, 0))
+                 if kblock else
+                 pl.BlockSpec((1, 1, TNQ), win(0, nq,
+                                               lambda l, j: (l, 0, j)))),
+                (pl.BlockSpec((1, TNW, D), win(P_WO, P_GU,              # wo
+                                               lambda l, j: (l, j, 0)))
+                 if kblock else
+                 pl.BlockSpec((1, TNW, HQ * HD), win(P_WO, P_GU,
+                                                     lambda l, j: (l, j, 0)))
+                 if wmajor else
+                 pl.BlockSpec((1, HQ * HD, TNW), win(P_WO, P_GU,
+                                                     lambda l, j: (l, 0, j)))),
+                (pl.BlockSpec((1, 1, D), lambda l, t, sr: (l, 0, 0))
+                 if kblock else
+                 pl.BlockSpec((1, 1, TNW), win(P_WO, P_GU,
+                                               lambda l, j: (l, 0, j)))),
+                (pl.BlockSpec((1, TNG, 2 * F), win(P_GU, P_DN,          # wgu
+                                                   lambda l, j: (l, j, 0)))
+                 if kblock else
+                 pl.BlockSpec((1, TNG, D), win(P_GU, P_DN,
+                                               lambda l, j: (l, j, 0)))
+                 if wmajor else
+                 pl.BlockSpec((1, D, TNG), win(P_GU, P_DN,
+                                               lambda l, j: (l, 0, j)))),
+                (pl.BlockSpec((1, 1, 2 * F), lambda l, t, sr: (l, 0, 0))
+                 if kblock else
+                 pl.BlockSpec((1, 1, TNG), win(P_GU, P_DN,
+                                               lambda l, j: (l, 0, j)))),
                 pl.BlockSpec((1, TK, D), win(P_DN, P_DN + ndn,          # wdn
                                              lambda l, j: (l, j, 0))),
                 pl.BlockSpec((1, 1, D), lambda l, t, sr: (l, 0, 0)),    # sdn
@@ -497,12 +1020,14 @@ def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
             scratch_shapes=[
                 pltpu.VMEM((B, D), jnp.float32),        # x
                 pltpu.VMEM((B, D), bf),                 # h / h2
-                pltpu.VMEM((B, QO), bf),                # qkv
+                # kblock accumulates K-partials → f32 accumulators
+                pltpu.VMEM((B, QO), jnp.float32 if kblock else bf),  # qkv
                 pltpu.VMEM((B, HQ * HD), bf),           # q (post-rope)
                 pltpu.VMEM((B, HKV * HD), bf),          # k current
                 pltpu.VMEM((B, HKV * HD), bf),          # v current
                 pltpu.VMEM((B, HQ * HD), bf),           # attn out
-                pltpu.VMEM((B, 2 * F), bf),             # gate|up → ff
+                pltpu.VMEM((B, 2 * F),
+                           jnp.float32 if kblock else bf),  # gate|up → ff
                 pltpu.VMEM((B, HKV * HD), jnp.int8),    # k current int8
                 pltpu.VMEM((B, HKV * HD), jnp.int8),    # v current int8
                 pltpu.VMEM((B, HKV), jnp.float32),      # k scale

@@ -29,12 +29,16 @@ def main():
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--start", type=int, default=128)
     ap.add_argument("--act8", action="store_true")
+    ap.add_argument("--wmajor", action="store_true",
+                    help="transpose matmul weights to N-major (contiguous "
+                         "tile DMA) before the run")
     args = ap.parse_args()
 
     from physics_llm_inference_tpu.models import ModelConfig
     from physics_llm_inference_tpu.models.quant import init_params_int8
     from physics_llm_inference_tpu.models.transformer import QuantKV
-    from physics_llm_inference_tpu.kernels.fused_decode import fused_decode_step
+    from physics_llm_inference_tpu.kernels.fused_decode import (
+        fused_decode_step, to_nmajor)
     from physics_llm_inference_tpu.ops.rope import rope_frequencies
     from physics_llm_inference_tpu.specs import get_tpu_spec
     from physics_llm_inference_tpu.utils.timing import readout_timed
@@ -53,6 +57,12 @@ def main():
     params = init_params_int8(jax.random.PRNGKey(0), cfg)
     blocks = params["blocks"]
     del params  # embed/lm_head not needed
+    if args.wmajor:
+        nm = to_nmajor(blocks)
+        for name in ("wqkv", "wo", "w_gate_up"):
+            nm[name].q.block_until_ready()
+        blocks = nm
+        del nm
 
     rng = jax.random.PRNGKey(1)
     kq = jax.random.randint(rng, (L, B, S, flat), -127, 128, jnp.int8)
