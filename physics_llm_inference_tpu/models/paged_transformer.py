@@ -35,6 +35,28 @@ def _rope_tables(cfg: ModelConfig):
     return rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
 
 
+def _paged_fused_ok(params, cfg: ModelConfig, b: int, k_pools,
+                    tables) -> bool:
+    """Gate for the fused whole-model PAGED decode kernel — the paged twin
+    of transformer._fused_decode_ok (same weight/TP/MoE requirements, plus
+    the block-fan limits of kernels/fused_decode.fused_paged_decode_ok)."""
+    from ..kernels.fused_decode import fused_paged_decode_ok
+    from .quant import QuantizedTensor
+
+    if not (cfg.fused_decode and cfg.use_rope
+            and jax.default_backend() == "tpu"
+            and cfg.attention_impl != "dense" and cfg.tp_axis is None):
+        return False
+    if not isinstance(k_pools, QuantKV):
+        return False
+    for name in ("wqkv", "wo", "w_gate_up", "w_down"):
+        w = params["blocks"].get(name)
+        if not (isinstance(w, QuantizedTensor) and w.q.ndim == 3):
+            return False
+    bs = k_pools.q.shape[2]
+    return fused_paged_decode_ok(cfg, b, tables.shape[1], bs)
+
+
 def _paged_decode_step_impl(params, tokens: jnp.ndarray,
                             k_pools, v_pools,
                             tables: jnp.ndarray, lengths: jnp.ndarray,
@@ -50,6 +72,32 @@ def _paged_decode_step_impl(params, tokens: jnp.ndarray,
     quantized = isinstance(k_pools, QuantKV)
     bs = (k_pools.q if quantized else k_pools).shape[2]
     hq, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    if _paged_fused_ok(params, cfg, b, k_pools, tables):
+        # Fused whole-model paged decode: one Pallas kernel for every
+        # layer's matmuls + attention through the block-table fan
+        # (kernels/fused_decode.fused_paged_decode_step); new K/V come
+        # back (L, B, ...) and land in the pools in one in-place scatter.
+        from ..kernels.fused_decode import fused_paged_decode_step
+
+        cos, sin = _rope_tables(cfg)
+        x0 = embed_lookup(params, tokens, cfg)
+        x_out, k_new, ksc, v_new, vsc = fused_paged_decode_step(
+            params["blocks"], x0, k_pools.q, k_pools.s, v_pools.q,
+            v_pools.s, tables, lengths, cos[lengths], sin[lengths], cfg=cfg)
+        blk = tables[jnp.arange(b), lengths // bs]
+        off = lengths % bs
+        # dims (1,2) adjacent advanced indices keep their place → (L,B,·);
+        # dims (1,3) split by a slice move to the FRONT → value (B,L,Hkv)
+        k_pools = QuantKV(
+            q=k_pools.q.at[:, blk, off].set(k_new),
+            s=k_pools.s.at[:, blk, :, off].set(ksc.transpose(1, 0, 2)))
+        v_pools = QuantKV(
+            q=v_pools.q.at[:, blk, off].set(v_new),
+            s=v_pools.s.at[:, blk, :, off].set(vsc.transpose(1, 0, 2)))
+        logits = lm_logits(x_out[:, None, :], params, cfg)
+        return logits[:, 0], k_pools, v_pools
+
     x = embed_lookup(params, tokens, cfg)[:, None, :]
     cos, sin = _rope_tables(cfg)
     positions = lengths[:, None]
@@ -122,12 +170,16 @@ def paged_decode_scan_impl(params, tokens: jnp.ndarray,
                            tables: jnp.ndarray, lengths: jnp.ndarray,
                            rng: jax.Array, temps: jnp.ndarray,
                            top_ps: jnp.ndarray, cfg: ModelConfig,
-                           horizon: int = 1):
+                           horizon: int = 1, top_ks=None,
+                           filtered: bool = True):
     """Multi-step paged decode: `horizon` tokens per dispatch, fully
     in-device (sampling included) — the paged engine's multi-step
     scheduling path (EngineConfig.decode_horizon equivalent). Block tables
     must already cover lengths+horizon (the engine pre-extends). Returns
     (tokens (B, horizon), k_pools, v_pools).
+
+    `filtered=False` statically drops top-k/top-p (no per-step vocab sort);
+    `top_ks` (B,) int32 enables per-request top-k when filtered.
 
     Unjitted: the engine jits this directly (single device) or inside a
     shard_map over the 'model' mesh axis (TP serving)."""
@@ -138,8 +190,10 @@ def paged_decode_scan_impl(params, tokens: jnp.ndarray,
         logits, k, v = _paged_decode_step_impl(params, tok, k, v, tables,
                                                lens, cfg)
         rng, sub = jax.random.split(rng)
-        nxt = sample_token(logits, sub, temperature=temps,
-                           top_p=top_ps).astype(jnp.int32)
+        nxt = sample_token(
+            logits, sub, temperature=temps,
+            top_k=(top_ks if (filtered and top_ks is not None) else 0),
+            top_p=top_ps if filtered else None).astype(jnp.int32)
         return (nxt, k, v, lens + 1, rng), nxt
 
     (_, k_pools, v_pools, _, _), toks = jax.lax.scan(
@@ -147,7 +201,8 @@ def paged_decode_scan_impl(params, tokens: jnp.ndarray,
     return jnp.swapaxes(toks, 0, 1), k_pools, v_pools
 
 
-paged_decode_scan = partial(jax.jit, static_argnames=("cfg", "horizon"),
+paged_decode_scan = partial(jax.jit,
+                            static_argnames=("cfg", "horizon", "filtered"),
                             donate_argnums=(2, 3))(paged_decode_scan_impl)
 
 

@@ -176,3 +176,113 @@ class TestFusedDecodeParity:
         np.testing.assert_array_equal(np.asarray(per_req.s),
                                       np.asarray(scalar.s))
         assert bool(jnp.all(per_req.q[:, :, P, :] == k_new))
+
+
+class TestFusedPagedParity:
+    """The paged megakernel (block-table fan) must agree with the slot
+    megakernel on identical KV content, and with the kernel's variant
+    flags (wmajor / silu_spread) active."""
+
+    def _paged_setup(self, B=4, BS=8, MB=4, seed=0):
+        from physics_llm_inference_tpu.models.quant import init_params_int8
+
+        cfg = ModelConfig(vocab_size=64, hidden_dim=256, num_layers=2,
+                          num_heads=4, num_kv_heads=2, intermediate_dim=512,
+                          max_seq_len=64, dtype="bfloat16")
+        L = cfg.num_layers
+        S = BS * MB
+        flat = cfg.num_kv_heads * cfg.head_dim
+        params = init_params_int8(jax.random.PRNGKey(seed), cfg)
+        rng = np.random.default_rng(seed)
+        lens = rng.integers(1, S - 1, (B,)).astype(np.int32)
+
+        kq_s = rng.integers(-127, 128, (L, B, S, flat)).astype(np.int8)
+        vq_s = rng.integers(-127, 128, (L, B, S, flat)).astype(np.int8)
+        ks_s = (np.abs(rng.normal(size=(L, B, cfg.num_kv_heads, S)))
+                * 0.05 + 0.01).astype(np.float32)
+        vs_s = (np.abs(rng.normal(size=(L, B, cfg.num_kv_heads, S)))
+                * 0.05 + 0.01).astype(np.float32)
+        for i, ln in enumerate(lens):
+            kq_s[:, i, ln:] = 0
+            vq_s[:, i, ln:] = 0
+
+        NB = B * MB + 3
+        tables = (rng.permutation(B * MB) + 2).reshape(B, MB).astype(np.int32)
+        kq_p = np.zeros((L, NB, BS, flat), np.int8)
+        vq_p = np.zeros((L, NB, BS, flat), np.int8)
+        ks_p = np.ones((L, NB, cfg.num_kv_heads, BS), np.float32)
+        vs_p = np.ones((L, NB, cfg.num_kv_heads, BS), np.float32)
+        for i in range(B):
+            for c in range(MB):
+                blk = tables[i, c]
+                kq_p[:, blk] = kq_s[:, i, c * BS:(c + 1) * BS]
+                vq_p[:, blk] = vq_s[:, i, c * BS:(c + 1) * BS]
+                ks_p[:, blk] = ks_s[:, i, :, c * BS:(c + 1) * BS]
+                vs_p[:, blk] = vs_s[:, i, :, c * BS:(c + 1) * BS]
+
+        x0 = jnp.asarray(rng.normal(size=(B, cfg.hidden_dim)), jnp.bfloat16)
+        cos_t, sin_t = rope_frequencies(cfg.head_dim, cfg.max_seq_len,
+                                        cfg.rope_theta)
+        cos_g = jnp.asarray(np.asarray(cos_t)[lens])
+        sin_g = jnp.asarray(np.asarray(sin_t)[lens])
+        slot = dict(kq=jnp.asarray(kq_s), ks=jnp.asarray(ks_s),
+                    vq=jnp.asarray(vq_s), vs=jnp.asarray(vs_s))
+        paged = dict(kq=jnp.asarray(kq_p), ks=jnp.asarray(ks_p),
+                     vq=jnp.asarray(vq_p), vs=jnp.asarray(vs_p))
+        return (cfg, params["blocks"], x0, lens, tables, cos_g, sin_g,
+                slot, paged)
+
+    def test_paged_matches_slot_megakernel(self):
+        from physics_llm_inference_tpu.kernels.fused_decode import (
+            _fused_decode_step, fused_paged_decode_step)
+
+        (cfg, blocks, x0, lens, tables, cos_g, sin_g,
+         slot, paged) = self._paged_setup()
+        B = x0.shape[0]
+        ref = _fused_decode_step(
+            blocks, x0, slot["kq"], slot["ks"], slot["vq"], slot["vs"],
+            q_slot=jnp.asarray(lens), valid_from=jnp.zeros(B, jnp.int32),
+            rope_cos_g=cos_g, rope_sin_g=sin_g, cfg=cfg, slot=None,
+            write_cache=False, tn_target=128, rb_bytes=1)
+        for wmajor, spread in ((False, False), (True, True)):
+            blk = blocks
+            if wmajor:
+                from physics_llm_inference_tpu.kernels.fused_decode import \
+                    to_nmajor
+                blk = to_nmajor(blocks)
+            got = fused_paged_decode_step(
+                blk, x0, paged["kq"], paged["ks"], paged["vq"], paged["vs"],
+                jnp.asarray(tables), jnp.asarray(lens), cos_g, sin_g,
+                cfg=cfg, tn_target=128, wmajor=wmajor, silu_spread=spread)
+            for name, a, b in zip(("x", "k_new", "ksc", "v_new", "vsc"),
+                                  ref, got):
+                np.testing.assert_allclose(
+                    np.asarray(a, np.float32), np.asarray(b, np.float32),
+                    rtol=2e-2, atol=2e-2,
+                    err_msg=f"wmajor={wmajor} {name}")
+
+    def test_paged_step_impl_scatter_layout(self):
+        """The fused branch's pool scatter must land new K/V exactly where
+        the per-op path writes them (advanced-indexing axis order)."""
+        from physics_llm_inference_tpu.models.transformer import QuantKV
+        from physics_llm_inference_tpu.kernels.fused_decode import \
+            fused_paged_decode_step
+
+        (cfg, blocks, x0, lens, tables, cos_g, sin_g,
+         slot, paged) = self._paged_setup(seed=1)
+        B = x0.shape[0]
+        BS = paged["kq"].shape[2]
+        _, k_new, ksc, v_new, vsc = fused_paged_decode_step(
+            blocks, x0, paged["kq"], paged["ks"], paged["vq"], paged["vs"],
+            jnp.asarray(tables), jnp.asarray(lens), cos_g, sin_g,
+            cfg=cfg, tn_target=128)
+        blk = jnp.asarray(tables)[jnp.arange(B), jnp.asarray(lens) // BS]
+        off = jnp.asarray(lens) % BS
+        q2 = paged["kq"].at[:, blk, off].set(k_new)
+        s2 = paged["ks"].at[:, blk, :, off].set(ksc.transpose(1, 0, 2))
+        for r in range(B):
+            np.testing.assert_array_equal(
+                np.asarray(q2[:, blk[r], off[r]]), np.asarray(k_new[:, r]))
+            np.testing.assert_allclose(
+                np.asarray(s2[:, blk[r], :, off[r]]), np.asarray(ksc[:, r]),
+                rtol=1e-6)
