@@ -46,6 +46,19 @@ def _apply_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.where(logits < kth, _NEG_INF, logits)
 
 
+def _apply_top_k_dynamic(logits: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Per-request top-k with k a RUNTIME array (batch serving: one compiled
+    step, every request its own k; k <= 0 disables filtering for that row).
+    Costs a vocab sort — engines compile a no-filter variant and only
+    dispatch this one when some active request asks for top-k/top-p."""
+    v = logits.shape[-1]
+    sorted_desc = jnp.sort(logits, axis=-1)[..., ::-1]
+    idx = jnp.clip(k[..., None] - 1, 0, v - 1).astype(jnp.int32)
+    kth = jnp.take_along_axis(sorted_desc, idx, axis=-1)
+    keep_all = (k <= 0)[..., None]
+    return jnp.where(keep_all | (logits >= kth), logits, _NEG_INF)
+
+
 def _apply_top_p(logits: jnp.ndarray, top_p: jnp.ndarray) -> jnp.ndarray:
     """Nucleus filtering (ref ch10/engine.py:104-113): sort desc, keep the
     smallest prefix whose probability mass reaches top_p (always >= 1 token)."""
@@ -80,8 +93,12 @@ def sample_token(
 
     safe_t = jnp.where(temperature > 0, temperature, 1.0)
     scaled = logits.astype(jnp.float32) / safe_t[..., None]
-    if top_k > 0:
-        scaled = _apply_top_k(scaled, top_k)
+    if isinstance(top_k, (int, jnp.integer)):
+        if top_k > 0:
+            scaled = _apply_top_k(scaled, top_k)
+    else:
+        scaled = _apply_top_k_dynamic(scaled,
+                                      jnp.asarray(top_k, jnp.int32))
     if top_p is not None:
         top_p = jnp.asarray(top_p, dtype=jnp.float32)
         scaled = _apply_top_p(scaled, top_p[..., None])

@@ -52,6 +52,12 @@ class EngineConfig:
     # (ref ch08/chunked_prefill.py ChunkConfig.chunk_size; bounds the
     # latency any one admission can impose on running decodes).
     max_prefill_chunk: int = 512
+    # Mixed prefill/decode iterations (ref ch08/mixed_batch.py): at most
+    # this many prompt tokens prefill per engine iteration (may overshoot
+    # by one chunk); longer prompts resume next iteration, so running
+    # decodes get a dispatch between chunks instead of waiting for whole
+    # admissions. None → one chunk's worth (max_prefill_chunk).
+    prefill_tokens_per_iter: int | None = None
     policy: SchedulingPolicy = SchedulingPolicy.FCFS
     kv_dtype: str | None = None     # default: model dtype
     # Multi-step scheduling: decode up to this many tokens per device
@@ -71,6 +77,7 @@ class GenerationRequest:
     prompt_tokens: list[int]
     max_tokens: int = 128
     temperature: float = 1.0
+    top_k: int = 0
     top_p: float = 1.0
     stop_tokens: tuple[int, ...] = ()
     request_id: str | None = None
@@ -166,6 +173,7 @@ class InferenceEngine:
         self._slot_of: dict[str, int] = {}
         self._lengths = np.zeros(c.num_slots, dtype=np.int32)
         self._active = np.zeros(c.num_slots, dtype=bool)
+        self._prefilling: list = []  # admitted, prefill_pos < prompt_len
 
         # RLock: abort_request holds it while _finish re-acquires
         self._lock = threading.RLock()
@@ -181,23 +189,25 @@ class InferenceEngine:
 
         self._prefill_cache = StepCache(self._make_prefill)
         self._decode_fns: dict[int, object] = {}
-        self._decode_fn = self._decode_for(1)
+        self._decode_fn = self._decode_for(1, filtered=False)
         # Dispatch trace: when set to a list, every jitted dispatch records
         # (kind, shape-params, slots). Multi-host DP (parallel/multihost.py)
         # requires this sequence to be identical on every host — the
         # determinism tests compare traces across engine replicas.
         self.dispatch_trace: list | None = None
 
-    def _decode_for(self, horizon: int):
-        if horizon not in self._decode_fns:
-            self._decode_fns[horizon] = self._make_decode(horizon)
-        return self._decode_fns[horizon]
+    def _decode_for(self, horizon: int, filtered: bool = True):
+        key = (horizon, filtered)
+        if key not in self._decode_fns:
+            self._decode_fns[key] = self._make_decode(horizon, filtered)
+        return self._decode_fns[key]
 
     def _pick_horizon(self) -> int:
         """Largest power-of-two horizon that fits every active slot's
         remaining KV capacity; 1 while requests are waiting (admission
         latency beats dispatch amortization when there's queued work)."""
-        if self.scheduler.waiting or self.config.decode_horizon <= 1:
+        if (self.scheduler.waiting or self._prefilling
+                or self.config.decode_horizon <= 1):
             return 1
         active = self._lengths[self._active]
         room = self.config.max_seq_len - 1 - (int(active.max()) if
@@ -223,7 +233,7 @@ class InferenceEngine:
         cfg = self._local_cfg or self.cfg
 
         def prefill(params, ids, k_slot, v_slot, start, nvalid, rng, temp,
-                    top_p):
+                    top_k, top_p):
             # One (possibly chunked) prefill pass: ids (1, C) holds prompt
             # tokens [start, start+nvalid) right-padded to the bucket;
             # K/V land at cache slots [start, start+C) (padding slots are
@@ -235,7 +245,8 @@ class InferenceEngine:
             logits, kvs = forward(params, ids, cfg, kv=kvs, positions=slots,
                                   slots=slots)
             last = logits[jnp.arange(b), nvalid - 1]
-            tok = sample_token(last, rng, temperature=temp, top_p=top_p)
+            tok = sample_token(last, rng, temperature=temp, top_k=top_k,
+                               top_p=top_p)
             return tok.astype(jnp.int32), kvs.k, kvs.v
 
         if self.mesh is None:
@@ -250,18 +261,22 @@ class InferenceEngine:
         fn = jax.shard_map(
             prefill, mesh=self.mesh,
             in_specs=(self._param_specs, P(), kvp, kvp, P(), P(), P(), P(),
-                      P()),
+                      P(), P()),
             out_specs=(P(), kvp, kvp),
             check_vma=False)
         return jax.jit(fn)
 
-    def _make_decode(self, horizon: int = 1):
+    def _make_decode(self, horizon: int = 1, filtered: bool = True):
         cfg = self._local_cfg or self.cfg
         sharded = self.mesh is not None
 
-        def decode(params, k, v, tokens, lengths, rng, temps, top_ps):
+        def decode(params, k, v, tokens, lengths, rng, temps, top_ks,
+                   top_ps):
             # tokens: (B,); lengths: (B,) current per-slot fill. Scans
             # `horizon` steps fully in-device → (B, horizon) tokens.
+            # `filtered=False` is the static no-top-k/p variant — skips the
+            # per-step vocab sort entirely (dispatched when no active
+            # request filters; the sort is a real cost at 32k vocab).
             if sharded and cfg.tp_data_axis is not None:
                 # independent sampling per data shard (model-axis shards
                 # keep the SAME stream — they must emit identical tokens)
@@ -275,7 +290,9 @@ class InferenceEngine:
                                       last_only=True)
                 rng, sub = jax.random.split(rng)
                 nxt = sample_token(logits[:, 0], sub, temperature=temps,
-                                   top_p=top_ps).astype(jnp.int32)
+                                   top_k=top_ks if filtered else 0,
+                                   top_p=top_ps if filtered else None
+                                   ).astype(jnp.int32)
                 return (kvs.k, kvs.v, nxt, lens + 1, rng), nxt
 
             (k, v, _, _, _), toks = jax.lax.scan(
@@ -293,7 +310,7 @@ class InferenceEngine:
         d = P("data")
         fn = jax.shard_map(
             decode, mesh=self.mesh,
-            in_specs=(self._param_specs, kvp, kvp, d, d, P(), d, d),
+            in_specs=(self._param_specs, kvp, kvp, d, d, P(), d, d, d),
             out_specs=(P("data", None), kvp, kvp),
             check_vma=False)
         return jax.jit(fn)
@@ -312,11 +329,14 @@ class InferenceEngine:
             hh *= 2
             horizons.add(hh)
         for h in sorted(horizons):
-            jax.block_until_ready(self._decode_for(h)(
+            # the no-filter variant is the serving fast path; the filtered
+            # one compiles on first filtered request
+            jax.block_until_ready(self._decode_for(h, filtered=False)(
                 self.params, self._k, self._v,
                 jnp.zeros(c.num_slots, jnp.int32),
                 jnp.zeros(c.num_slots, jnp.int32), self._split_rng(),
                 jnp.ones(c.num_slots, jnp.float32),
+                jnp.zeros(c.num_slots, jnp.int32),
                 jnp.ones(c.num_slots, jnp.float32))[0])
         for pb in (buckets or c.prompt_buckets):
             if pb > c.max_seq_len:
@@ -326,7 +346,8 @@ class InferenceEngine:
                 self.params, jnp.zeros((1, pb), jnp.int32),
                 self._kv_slot(self._k, 0), self._kv_slot(self._v, 0),
                 jnp.int32(0), jnp.int32(1),
-                self._split_rng(), jnp.float32(0.0), jnp.float32(1.0))[0])
+                self._split_rng(), jnp.float32(0.0),
+                jnp.zeros((1,), jnp.int32), jnp.float32(1.0))[0])
         return _t.monotonic() - t0
 
     # ------------------------------------------------------------- requests
@@ -346,7 +367,7 @@ class InferenceEngine:
             prompt_tokens=list(req.prompt_tokens),
             max_new_tokens=min(req.max_tokens, self.config.max_new_tokens_cap),
             sampling=SamplingParams(temperature=req.temperature,
-                                    top_p=req.top_p,
+                                    top_k=req.top_k, top_p=req.top_p,
                                     stop_tokens=tuple(req.stop_tokens)),
         )
         with self._lock:
@@ -400,15 +421,31 @@ class InferenceEngine:
             r.output_tokens.clear()
 
         # prefill admitted requests, one slot each, chunked for long prompts
-        # (ref ch08/chunked_prefill.py — bounds per-iteration prefill latency)
+        # (ref ch08/chunked_prefill.py — bounds per-iteration prefill
+        # latency). MIXED iterations (ref ch08/mixed_batch.py): at most
+        # `prefill_tokens_per_iter` of chunks run per iteration; a longer
+        # prompt carries prefill_pos into the next iteration, so the decode
+        # dispatch below runs between its chunks — running decodes are
+        # never stalled by more than one budget of prefill.
         for r in out.prefill:
             slot = self._slot_pool.tables[r.request_id].block_ids[0]
             self._slot_of[r.request_id] = slot
             r.start_time = r.start_time or time.monotonic()
+            self._prefilling.append(r)
+        budget = (self.config.prefill_tokens_per_iter
+                  or self.config.max_prefill_chunk)
+        still_prefilling = []
+        for r in self._prefilling:
+            slot = self._slot_of.get(r.request_id)
+            if slot is None or r.is_done():   # preempted/aborted meanwhile
+                continue
+            if budget <= 0:
+                still_prefilling.append(r)
+                continue
             p = len(r.prompt_tokens)
             tok = None
             pos = r.prefill_pos
-            while pos < p:
+            while pos < p and budget > 0:
                 n = min(p - pos, self.config.max_prefill_chunk)
                 c_bucket = bucket_for(n, self.config.prompt_buckets)
                 ids = np.zeros((1, c_bucket), dtype=np.int32)
@@ -422,11 +459,16 @@ class InferenceEngine:
                     self._kv_slot(self._k, slot), self._kv_slot(self._v, slot),
                     jnp.int32(pos), jnp.int32(n), self._split_rng(),
                     jnp.float32(r.sampling.temperature),
+                    jnp.full((1,), r.sampling.top_k, jnp.int32),
                     jnp.float32(r.sampling.top_p))
                 self._k = self._kv_set(self._k, slot, k_new)
                 self._v = self._kv_set(self._v, slot, v_new)
                 pos += n
+                budget -= n
                 r.prefill_pos = pos
+            if pos < p:                       # budget ran out mid-prompt
+                still_prefilling.append(r)
+                continue
             self._lengths[slot] = p
             self._active[slot] = True
             tok_i = int(tok[0])  # sampled from the final chunk's last token
@@ -434,28 +476,45 @@ class InferenceEngine:
             r.output_tokens.append(tok_i)
             emitted.setdefault(r.request_id, []).append(tok_i)
             self._notify(r, tok_i)
+        self._prefilling = still_prefilling
 
-        # one decode dispatch for the whole pool
+        # one decode dispatch for the whole pool (mid-prefill requests have
+        # no first token yet — they join once their prefill completes)
         decode_reqs = [r for r in out.decode
-                       if r.request_id in self._slot_of and not r.is_done()]
+                       if r.request_id in self._slot_of and not r.is_done()
+                       and r.output_tokens]
         if decode_reqs:
             tokens = np.zeros(self.config.num_slots, dtype=np.int32)
             temps = np.ones(self.config.num_slots, dtype=np.float32)
+            top_ks = np.zeros(self.config.num_slots, dtype=np.int32)
             top_ps = np.ones(self.config.num_slots, dtype=np.float32)
             for r in decode_reqs:
                 s = self._slot_of[r.request_id]
                 tokens[s] = r.output_tokens[-1]
                 temps[s] = r.sampling.temperature
+                top_ks[s] = r.sampling.top_k
                 top_ps[s] = r.sampling.top_p
             h = self._pick_horizon()
+            # static no-filter fast path: skips the per-step vocab sort
+            # when no active request asks for top-k/top-p
+            filtered = bool((top_ks > 0).any() or (top_ps < 1.0).any())
             if self.dispatch_trace is not None:
                 self.dispatch_trace.append(
-                    ("decode", h, tuple(int(self._slot_of[r.request_id])
-                                        for r in decode_reqs)))
-            toks, self._k, self._v = self._decode_for(h)(
+                    ("decode", h, filtered,
+                     tuple(int(self._slot_of[r.request_id])
+                           for r in decode_reqs)))
+            # The fixed-shape decode writes K/V at every slot's length —
+            # park INACTIVE slots (including mid-prefill ones, whose cache
+            # region is already partially written) at the last position:
+            # junk there is always re-written by a real write before any
+            # step attends it.
+            lens = self._lengths.copy()
+            lens[~self._active] = self.config.max_seq_len - 1
+            toks, self._k, self._v = self._decode_for(h, filtered)(
                 self.params, self._k, self._v, jnp.asarray(tokens),
-                jnp.asarray(self._lengths), self._split_rng(),
-                jnp.asarray(temps), jnp.asarray(top_ps))
+                jnp.asarray(lens), self._split_rng(),
+                jnp.asarray(temps), jnp.asarray(top_ks),
+                jnp.asarray(top_ps))
             toks = np.asarray(toks)  # (num_slots, h)
             for r in decode_reqs:
                 s = self._slot_of[r.request_id]

@@ -119,8 +119,8 @@ def make_handler(engine: InferenceEngine, tokenizer: TokenizerPool,
                     t for s in req.stop for t in tokenizer.tokenize(s)[:1])
                 gen = GenerationRequest(
                     prompt_tokens=tokens, max_tokens=req.max_tokens,
-                    temperature=req.temperature, top_p=req.top_p,
-                    stop_tokens=stop_tokens)
+                    temperature=req.temperature, top_k=req.top_k,
+                    top_p=req.top_p, stop_tokens=stop_tokens)
                 if req.stream:
                     self._stream(req, gen)
                 else:

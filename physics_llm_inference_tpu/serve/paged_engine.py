@@ -49,6 +49,9 @@ class PagedEngineConfig:
     policy: SchedulingPolicy = SchedulingPolicy.FCFS
     enable_radix: bool = True
     kv_dtype: str | None = None
+    # Mixed prefill/decode iterations (see serve/engine.py EngineConfig):
+    # per-iteration prefill token budget; None → max_prefill_chunk.
+    prefill_tokens_per_iter: int | None = None
     # Multi-step scheduling: decode up to this many tokens per device
     # dispatch (in-device lax.scan, sampling included). The engine
     # pre-extends block tables to cover the horizon, drops to single steps
@@ -133,6 +136,7 @@ class PagedInferenceEngine:
             shared_blocks_fn=self._shared_blocks_for)
 
         self._row_of: dict[str, int] = {}
+        self._prefilling: list = []  # admitted, prefill_pos < prompt_len
         self._tables = np.full((c.max_batch, c.max_blocks_per_request),
                                self._trash, dtype=np.int32)
         self._lengths = np.zeros(c.max_batch, dtype=np.int32)
@@ -230,17 +234,22 @@ class PagedInferenceEngine:
             out_specs=(P(), kvp, kvp), check_vma=False)
         return jax.jit(sharded, donate_argnums=(2, 3))
 
-    def _decode_for(self, horizon: int):
+    def _decode_for(self, horizon: int, filtered: bool = True):
         """Compiled multi-step decode for this horizon (single-device jit,
-        or one shard_map over the 'model' axis when serving sharded)."""
-        if horizon in self._decode_fns:
-            return self._decode_fns[horizon]
+        or one shard_map over the 'model' axis when serving sharded).
+        filtered=False is the static no-top-k/p variant (skips the
+        per-step vocab sort)."""
+        key = (horizon, filtered)
+        if key in self._decode_fns:
+            return self._decode_fns[key]
         cfg = self._local_cfg or self.cfg
 
-        def fn(params, tokens, k, v, tables, lengths, rng, temps, top_ps):
+        def fn(params, tokens, k, v, tables, lengths, rng, temps, top_ks,
+               top_ps):
             return paged_decode_scan_impl(params, tokens, k, v, tables,
                                           lengths, rng, temps, top_ps, cfg,
-                                          horizon=horizon)
+                                          horizon=horizon, top_ks=top_ks,
+                                          filtered=filtered)
 
         if self.mesh is None:
             jitted = jax.jit(fn, donate_argnums=(2, 3))
@@ -251,10 +260,10 @@ class PagedInferenceEngine:
             jitted = jax.jit(jax.shard_map(
                 fn, mesh=self.mesh,
                 in_specs=(self._param_specs, P(), kvp, kvp, P(), P(), P(),
-                          P(), P()),
+                          P(), P(), P()),
                 out_specs=(P(), kvp, kvp), check_vma=False),
                 donate_argnums=(2, 3))
-        self._decode_fns[horizon] = jitted
+        self._decode_fns[key] = jitted
         return jitted
 
     # ------------------------------------------------------------ requests
@@ -273,7 +282,7 @@ class PagedInferenceEngine:
             prompt_tokens=list(req.prompt_tokens),
             max_new_tokens=req.max_tokens,
             sampling=SamplingParams(temperature=req.temperature,
-                                    top_p=req.top_p,
+                                    top_k=req.top_k, top_p=req.top_p,
                                     stop_tokens=tuple(req.stop_tokens)),
         )
         with self._lock:
@@ -294,11 +303,12 @@ class PagedInferenceEngine:
             hh *= 2
             horizons.add(hh)
         for h in sorted(horizons):
-            toks, self._k, self._v = self._decode_for(h)(
+            toks, self._k, self._v = self._decode_for(h, filtered=False)(
                 self.params, jnp.zeros(c.max_batch, jnp.int32),
                 self._k, self._v, jnp.asarray(self._tables),
                 jnp.asarray(self._lengths), self._split_rng(),
                 jnp.ones(c.max_batch, jnp.float32),
+                jnp.zeros(c.max_batch, jnp.int32),
                 jnp.ones(c.max_batch, jnp.float32))
             jax.block_until_ready(toks)
         trash_table = jnp.full((self.config.max_blocks_per_request,),
@@ -380,18 +390,37 @@ class PagedInferenceEngine:
             self._matched.pop(r.request_id, None)
 
         # ---- prefill admitted requests (chunked; radix-matched prefix skipped)
+        # MIXED iterations (ref ch08/mixed_batch.py): at most
+        # prefill_tokens_per_iter of chunks per iteration — longer prompts
+        # resume next iteration so running decodes dispatch between chunks.
         for r in out.prefill:
+            # occupancy = _row_of (not _active: with mixed iterations a row
+            # is claimed at admission but only activates when its chunked
+            # prefill completes, possibly iterations later)
+            used = set(self._row_of.values())
             row = next(i for i in range(self.config.max_batch)
-                       if not self._active[i])
+                       if i not in used)
             self._row_of[r.request_id] = row
             r.start_time = r.start_time or time.monotonic()
+            if r.prefill_pos == 0:
+                r.prefill_pos = self._matched.pop(r.request_id, 0)
+            self._prefilling.append(r)
+        budget = (self.config.prefill_tokens_per_iter
+                  or self.config.max_prefill_chunk)
+        still_prefilling = []
+        for r in self._prefilling:
+            row = self._row_of.get(r.request_id)
+            if row is None or r.is_done():    # preempted/aborted meanwhile
+                continue
+            if budget <= 0:
+                still_prefilling.append(r)
+                continue
             self._sync_table_row(row, r.request_id)
             table = jnp.asarray(self._tables[row])
             p = r.prompt_len
-            pos = self._matched.pop(r.request_id, 0) if r.prefill_pos == 0 \
-                else r.prefill_pos
+            pos = r.prefill_pos
             logits = None
-            while pos < p:
+            while pos < p and budget > 0:
                 n = min(p - pos, self.config.max_prefill_chunk)
                 cb = bucket_for(n, self.config.prompt_buckets)
                 ids = np.zeros((1, cb), dtype=np.int32)
@@ -404,9 +433,15 @@ class PagedInferenceEngine:
                     self.params, jnp.asarray(ids), self._k, self._v,
                     table, jnp.int32(pos), jnp.int32(n))
                 pos += n
+                budget -= n
                 r.prefill_pos = pos
+            if pos < p:                       # budget ran out mid-prompt
+                still_prefilling.append(r)
+                continue
             tok = sample_token(logits, self._split_rng(),
                                temperature=jnp.float32(r.sampling.temperature),
+                               top_k=jnp.full((1,), r.sampling.top_k,
+                                              jnp.int32),
                                top_p=jnp.float32(r.sampling.top_p))
             tok_i = int(tok[0])
             self._lengths[row] = p
@@ -415,6 +450,7 @@ class PagedInferenceEngine:
             r.output_tokens.append(tok_i)
             emitted.setdefault(r.request_id, []).append(tok_i)
             self._notify(r, tok_i)
+        self._prefilling = still_prefilling
 
         # ---- grow KV for decoding requests; relieve pressure if needed
         # horizon: tokens decoded per dispatch (1 while requests wait —
@@ -422,7 +458,8 @@ class PagedInferenceEngine:
         # pressure; also bounded by table capacity headroom)
         c = self.config
         h = 1
-        if not self.scheduler.waiting and c.decode_horizon > 1:
+        if (not self.scheduler.waiting and not self._prefilling
+                and c.decode_horizon > 1):
             cap = c.max_blocks_per_request * c.block_size
             lens = self._lengths[self._active]
             room = cap - 1 - (int(lens.max()) if lens.size else 0)
@@ -430,7 +467,8 @@ class PagedInferenceEngine:
                 h *= 2
         candidates = []
         for r in out.decode:
-            if r.request_id not in self._row_of or r.is_done():
+            if (r.request_id not in self._row_of or r.is_done()
+                    or not r.output_tokens):  # mid-prefill: not decoding yet
                 continue
             rid = r.kv_request_id or r.request_id
             row = self._row_of[r.request_id]
@@ -481,20 +519,36 @@ class PagedInferenceEngine:
         if decode_reqs:
             tokens = np.zeros(self.config.max_batch, dtype=np.int32)
             temps = np.ones(self.config.max_batch, dtype=np.float32)
+            top_ks = np.zeros(self.config.max_batch, dtype=np.int32)
             top_ps = np.ones(self.config.max_batch, dtype=np.float32)
             for r in decode_reqs:
                 row = self._row_of[r.request_id]
                 tokens[row] = r.output_tokens[-1]
                 temps[row] = r.sampling.temperature
+                top_ks[row] = r.sampling.top_k
                 top_ps[row] = r.sampling.top_p
+            filtered = bool((top_ks > 0).any() or (top_ps < 1.0).any())
             if self.dispatch_trace is not None:
                 self.dispatch_trace.append(
-                    ("decode", h, tuple(int(self._row_of[r.request_id])
-                                        for r in decode_reqs)))
-            toks, self._k, self._v = self._decode_for(h)(
+                    ("decode", h, filtered,
+                     tuple(int(self._row_of[r.request_id])
+                           for r in decode_reqs)))
+            # The fixed-shape decode writes K/V through every row's table —
+            # route MID-PREFILL rows (inactive, but their tables already
+            # point at real blocks holding prefilled KV) to the trash row
+            # so the junk write can't clobber their prompt cache.
+            tables = self._tables
+            if self._prefilling:
+                tables = self._tables.copy()
+                for pr in self._prefilling:
+                    prow = self._row_of.get(pr.request_id)
+                    if prow is not None:
+                        tables[prow, :] = self._trash
+            toks, self._k, self._v = self._decode_for(h, filtered)(
                 self.params, jnp.asarray(tokens), self._k, self._v,
-                jnp.asarray(self._tables), jnp.asarray(self._lengths),
-                self._split_rng(), jnp.asarray(temps), jnp.asarray(top_ps))
+                jnp.asarray(tables), jnp.asarray(self._lengths),
+                self._split_rng(), jnp.asarray(temps),
+                jnp.asarray(top_ks), jnp.asarray(top_ps))
             toks = np.asarray(toks)  # (max_batch, h)
             for r in decode_reqs:
                 row = self._row_of[r.request_id]

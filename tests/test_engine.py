@@ -251,3 +251,103 @@ class TestWarmup:
                                              max_tokens=3, temperature=0.0))
         assert len(res.tokens) == 3
         assert eng._prefill_cache.stats()["compiled_shapes"] == 3
+
+
+class TestTopK:
+    def test_top_k_1_matches_greedy(self, params):
+        """top_k=1 with temperature>0 must select the argmax token — the
+        per-request dynamic top-k path through the compiled decode step."""
+        prompt = [5, 17, 3, 42, 8]
+        eng = engine(params)
+        greedy = eng.generate(GenerationRequest(prompt_tokens=prompt,
+                                                max_tokens=6,
+                                                temperature=0.0))
+        eng2 = engine(params)
+        topk1 = eng2.generate(GenerationRequest(prompt_tokens=prompt,
+                                                max_tokens=6,
+                                                temperature=0.8, top_k=1))
+        np.testing.assert_array_equal(topk1.tokens, greedy.tokens)
+
+    def test_mixed_filter_batch(self, params):
+        """A batch mixing filtered (top_k) and unfiltered requests uses the
+        filtered variant and leaves unfiltered rows untouched (k<=0 rows
+        keep full distributions; greedy rows unchanged)."""
+        eng = engine(params)
+        eng.dispatch_trace = []
+        r1 = eng.submit_request(GenerationRequest(
+            prompt_tokens=[5, 17, 3], max_tokens=5, temperature=0.0))
+        r2 = eng.submit_request(GenerationRequest(
+            prompt_tokens=[9, 1, 4], max_tokens=5, temperature=0.9,
+            top_k=3))
+        eng.run_until_done([r1, r2])
+        ref = engine(params).generate(GenerationRequest(
+            prompt_tokens=[5, 17, 3], max_tokens=5, temperature=0.0))
+        assert eng.get_result(r1).tokens == ref.tokens
+        decodes = [t for t in eng.dispatch_trace if t[0] == "decode"]
+        assert decodes and all(t[2] is True for t in decodes)
+
+    def test_unfiltered_batch_takes_fast_variant(self, params):
+        eng = engine(params)
+        eng.dispatch_trace = []
+        rid = eng.submit_request(GenerationRequest(
+            prompt_tokens=[5, 17, 3], max_tokens=4, temperature=0.7))
+        eng.run_until_done([rid])
+        decodes = [t for t in eng.dispatch_trace if t[0] == "decode"]
+        assert decodes and all(t[2] is False for t in decodes)
+
+
+class TestMixedIterations:
+    """ch08/mixed_batch.py behavior, integrated: a long admission prefills
+    under a per-iteration token budget, so running decodes get dispatches
+    BETWEEN its chunks instead of stalling for the whole prompt."""
+
+    def test_decode_interleaves_long_prefill(self, params):
+        eng = engine(params, max_seq_len=128, prompt_buckets=(8, 16, 32),
+                     max_prefill_chunk=8, prefill_tokens_per_iter=8,
+                     num_slots=4)
+        eng.dispatch_trace = []
+        short = eng.submit_request(GenerationRequest(
+            prompt_tokens=[5, 17, 3], max_tokens=20, temperature=0.0))
+        eng.step()  # short request prefilled, decoding
+        long = eng.submit_request(GenerationRequest(
+            prompt_tokens=list(range(1, 33)), max_tokens=4,
+            temperature=0.0))
+        eng.run_until_done([short, long])
+        tr = eng.dispatch_trace
+        # the 32-token prompt needs 4 chunks of 8; with an 8-token budget
+        # each lands in its own iteration, with a decode dispatch between
+        long_chunks = [i for i, t in enumerate(tr)
+                       if t[0] == "prefill" and t[4] == 8 and t[1] == 8]
+        assert len(long_chunks) == 4
+        for a, b in zip(long_chunks, long_chunks[1:]):
+            assert any(tr[i][0] == "decode" for i in range(a + 1, b)), \
+                f"no decode between prefill chunks at {a}..{b}"
+        # outputs still correct (greedy parity with the batch path)
+        ref = cached_generate(params, CFG, [list(range(1, 33))], 4,
+                              temperature=0.0)
+        assert eng.get_result(long).tokens == list(ref.tokens[0])
+
+    def test_paged_decode_interleaves_long_prefill(self, params):
+        from physics_llm_inference_tpu.serve.paged_engine import (
+            PagedEngineConfig, PagedInferenceEngine)
+
+        eng = PagedInferenceEngine(params, CFG, PagedEngineConfig(
+            num_blocks=64, block_size=8, max_batch=4,
+            max_blocks_per_request=16, prompt_buckets=(8, 16, 32),
+            max_prefill_chunk=8, prefill_tokens_per_iter=8,
+            enable_radix=False))
+        eng.dispatch_trace = []
+        short = eng.submit_request(GenerationRequest(
+            prompt_tokens=[5, 17, 3], max_tokens=20, temperature=0.0))
+        eng.step()
+        long = eng.submit_request(GenerationRequest(
+            prompt_tokens=list(range(1, 33)), max_tokens=4,
+            temperature=0.0))
+        eng.run_until_done([short, long])
+        tr = eng.dispatch_trace
+        long_chunks = [i for i, t in enumerate(tr)
+                       if t[0] == "prefill" and t[4] == 8 and t[1] == 8]
+        assert len(long_chunks) == 4
+        for a, b in zip(long_chunks, long_chunks[1:]):
+            assert any(tr[i][0] == "decode" for i in range(a + 1, b))
+        assert len(eng.get_result(long).tokens) == 4
