@@ -45,11 +45,15 @@ class TokenizerPool:
             return i
 
     def tokenize(self, text: str) -> list[int]:
-        """Sync path (ref :64-66)."""
-        return self.workers[self._pick()].encode(text)
+        """Sync path (ref :64-66). Adapts real tokenizer returns: HF
+        `tokenizers` Encoding objects expose .ids; transformers encode()
+        already returns a list."""
+        out = self.workers[self._pick()].encode(text)
+        ids = getattr(out, "ids", out)
+        return list(ids)
 
     def detokenize(self, ids: list[int]) -> str:
-        return self.workers[self._pick()].decode(ids)
+        return self.workers[self._pick()].decode(list(ids))
 
     def tokenize_batch(self, texts: list[str]) -> list[list[int]]:
         """Parallel batch via futures (ref :68-75)."""

@@ -1,0 +1,150 @@
+"""Train a small LM on real text to give the accuracy harness structured
+weights (VERDICT: random-init weights make quantization error look
+artificially benign — per-channel scales are near-perfect on N(0,s) by
+construction).
+
+Corpus: Python source shipped in the image (site-packages) — real, highly
+structured text, no network needed. Tokenizer: a REAL BPE trained on the
+corpus with the `tokenizers` library (also exercises the TokenizerPool
+real-tokenizer factory, serve/tokenizer_pool.py). Model: GQA transformer
+with head_dim 128 so the INT8 fused decode kernel is eligible
+(kernels/fused_decode.py shape gates).
+
+Outputs (under --out, default checkpoints/toy/):
+  tokenizer.json   trained BPE
+  params.npz       trained weights (models/loader.save_params format)
+  heldout.npy      held-out token stream for perplexity
+  config.json      the ModelConfig fields
+
+Usage: python scripts/train_toy.py --steps 500    (CPU ok, TPU faster)
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def build_corpus(max_bytes: int = 8 << 20) -> str:
+    roots = [os.path.dirname(os.__file__),
+             *glob.glob("/opt/venv/lib/python*/site-packages")]
+    parts, total = [], 0
+    for root in roots:
+        for path in sorted(glob.glob(os.path.join(root, "**", "*.py"),
+                                     recursive=True)):
+            try:
+                with open(path, encoding="utf-8", errors="ignore") as f:
+                    t = f.read()
+            except OSError:
+                continue
+            parts.append(t)
+            total += len(t)
+            if total >= max_bytes:
+                return "\n".join(parts)
+    return "\n".join(parts)
+
+
+def train_tokenizer(corpus: str, vocab_size: int, path: str):
+    from tokenizers import (Tokenizer, decoders, models, pre_tokenizers,
+                            trainers)
+
+    tok = Tokenizer(models.BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=vocab_size, special_tokens=["<pad>"],
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet())
+    tok.train_from_iterator(
+        (corpus[i:i + 65536] for i in range(0, len(corpus), 65536)),
+        trainer=trainer)
+    tok.save(path)
+    return tok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--seq", type=int, default=128)
+    ap.add_argument("--vocab", type=int, default=2048)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--out", default="checkpoints/toy")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import optax
+
+    from physics_llm_inference_tpu.models import ModelConfig, init_params
+    from physics_llm_inference_tpu.models.loader import save_params
+    from physics_llm_inference_tpu.models.transformer import forward
+
+    os.makedirs(args.out, exist_ok=True)
+    print("building corpus...", flush=True)
+    corpus = build_corpus()
+    print(f"corpus: {len(corpus)/1e6:.1f} MB text", flush=True)
+    tok = train_tokenizer(corpus, args.vocab,
+                          os.path.join(args.out, "tokenizer.json"))
+    ids = np.asarray(tok.encode(corpus).ids, dtype=np.int32)
+    print(f"tokens: {len(ids)/1e6:.2f} M", flush=True)
+    split = int(len(ids) * 0.98)
+    train_ids, held = ids[:split], ids[split:split + 200_000]
+    np.save(os.path.join(args.out, "heldout.npy"), held)
+
+    cfg = ModelConfig(vocab_size=args.vocab, hidden_dim=512, num_layers=4,
+                      num_heads=4, num_kv_heads=2, intermediate_dim=1408,
+                      max_seq_len=512, dtype="float32")
+    with open(os.path.join(args.out, "config.json"), "w") as f:
+        json.dump(dict(vocab_size=args.vocab, hidden_dim=512, num_layers=4,
+                       num_heads=4, num_kv_heads=2, intermediate_dim=1408,
+                       max_seq_len=512), f)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"model: {n_params/1e6:.1f} M params", flush=True)
+
+    opt = optax.adamw(optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, 50, args.steps), weight_decay=0.01)
+    state = opt.init(params)
+
+    def loss_fn(p, batch):
+        logits, _ = forward(p, batch[:, :-1], cfg)
+        tgt = batch[:, 1:]
+        ll = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        nll = -jnp.take_along_axis(ll, tgt[..., None], -1)[..., 0]
+        return nll.mean()
+
+    @jax.jit
+    def step(p, s, batch):
+        loss, g = jax.value_and_grad(loss_fn)(p, batch)
+        upd, s = opt.update(g, s, p)
+        return optax.apply_updates(p, upd), s, loss
+
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    for i in range(args.steps):
+        starts = rng.integers(0, len(train_ids) - args.seq - 1, args.batch)
+        batch = jnp.asarray(np.stack([train_ids[s:s + args.seq + 1]
+                                      for s in starts]))
+        params, state, loss = step(params, state, batch)
+        if i % 25 == 0 or i == args.steps - 1:
+            print(f"step {i:5d}  loss {float(loss):.4f}  "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+
+    save_params(os.path.join(args.out, "params.npz"), params)
+    print("saved", os.path.join(args.out, "params.npz"), flush=True)
+
+
+if __name__ == "__main__":
+    main()
