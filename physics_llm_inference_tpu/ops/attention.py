@@ -91,3 +91,66 @@ def attention_arithmetic_intensity(batch: int, heads: int, seq: int,
     flops = attention_flops(batch, heads, seq, head_dim)
     mem = attention_memory_bytes(batch, heads, seq, head_dim, dtype_bytes)
     return flops / mem["total_bytes"]
+
+
+def max_attendable_seq(hbm_budget_bytes: int, batch: int, heads: int,
+                       head_dim: int, dtype_bytes: int = 2,
+                       flash: bool = False) -> int:
+    """Largest S whose attention working set fits an HBM budget — the
+    analytic half of ref ch06/attention_memory.py:116-162's OOM sweep.
+    Naive attention is quadratic in S (materialized scores); flash is
+    linear (Q/K/V/O only), which is the whole point of the comparison."""
+    lo, hi = 0, 1 << 24
+    while lo + 1 < hi:
+        mid = (lo + hi) // 2
+        m = attention_memory_bytes(batch, heads, mid, head_dim, dtype_bytes)
+        used = m["qkvo_bytes"] if flash else m["total_bytes"]
+        if used <= hbm_budget_bytes:
+            lo = mid
+        else:
+            hi = mid
+    return lo
+
+
+def probe_attention_memory(batch: int = 1, heads: int = 32,
+                           head_dim: int = 128, start_seq: int = 1024,
+                           max_seq: int = 1 << 20, flash: bool = False,
+                           dtype=None) -> dict:
+    """DEVICE probe of the longest attendable context: doubles S until the
+    allocation/computation OOMs, the on-device twin of the analytic sweep
+    (ref ch06/attention_memory.py:116-162 probes CUDA OOM the same way).
+    Returns per-S results plus the first failing S. Runs real allocations —
+    expect RESOURCE_EXHAUSTED warnings from the runtime at the boundary."""
+    import jax
+
+    dtype = dtype or jnp.bfloat16
+    results, failed_at = [], None
+    s = start_seq
+    while s <= max_seq:
+        try:
+            ks = jax.random.split(jax.random.PRNGKey(0), 3)
+            q = jax.random.normal(ks[0], (batch, heads, s, head_dim), dtype)
+            k = jax.random.normal(ks[1], (batch, heads, s, head_dim), dtype)
+            v = jax.random.normal(ks[2], (batch, heads, s, head_dim), dtype)
+            if flash:
+                from ..kernels.flash_attention import flash_attention
+
+                out = flash_attention(q, k, v, causal=True)
+            else:
+                out = causal_attention(q, k, v)
+            jax.block_until_ready(out)
+            m = attention_memory_bytes(batch, heads, s, head_dim,
+                                       jnp.dtype(dtype).itemsize)
+            results.append({"seq": s, "ok": True,
+                            "predicted_bytes": (m["qkvo_bytes"] if flash
+                                                else m["total_bytes"])})
+            del q, k, v, out
+        except Exception as e:  # XlaRuntimeError RESOURCE_EXHAUSTED
+            failed_at = s
+            results.append({"seq": s, "ok": False,
+                            "error": type(e).__name__})
+            break
+        s *= 2
+    return {"results": results, "failed_at": failed_at, "flash": flash,
+            "max_ok": max((r["seq"] for r in results if r["ok"]),
+                          default=0)}

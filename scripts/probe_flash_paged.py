@@ -1,0 +1,127 @@
+"""One TPU session: flash-vs-XLA attention sweep + paged-megakernel probe.
+
+1. flash_attention vs XLA dense (grouped_sdpa) at 7B attention shapes
+   across sequence lengths — the VERDICT bar is flash >= XLA at S>=1024
+   with a %-of-roofline number (bench/micro.bench_attention does the
+   arithmetic).
+2. fused_paged_decode_step at 7B serving shapes (B=64, bs=64, MB=8) in a
+   chained scan — first time the block-table fan compiles on real
+   hardware; compared against the slot megakernel's number.
+
+Usage: JAX_PLATFORMS=axon python scripts/probe_flash_paged.py
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+
+def flash_sweep():
+    from physics_llm_inference_tpu.bench.micro import bench_attention
+
+    print("== flash vs XLA dense (B=4, 32q/8kv heads, d=128, causal) ==",
+          flush=True)
+    for seq in (512, 1024, 2048, 4096, 8192):
+        rows = {}
+        for use_flash in (True, False):
+            if not use_flash and seq > 4096:
+                continue  # dense S=8192 materializes (B,H,S,S) > HBM budget
+            r = bench_attention(batch=4, heads=32, kv_heads=8, seq=seq,
+                                head_dim=128, use_flash=use_flash, iters=5)
+            rows["flash" if use_flash else "xla"] = r
+        f = rows["flash"]
+        msg = (f"S={seq:5d}  flash {f['mean_ms']:7.2f} ms "
+               f"({f['achieved_tflops']:5.1f} TF, "
+               f"{100*f['roofline_fraction']:4.0f}% roofline)")
+        if "xla" in rows:
+            x = rows["xla"]
+            msg += (f"   xla {x['mean_ms']:7.2f} ms "
+                    f"({x['achieved_tflops']:5.1f} TF)  "
+                    f"speedup {x['mean_ms']/f['mean_ms']:4.2f}x")
+        print(msg, flush=True)
+
+
+def paged_probe(B=64, BS=64, MB=8, steps=32):
+    from physics_llm_inference_tpu.models import ModelConfig
+    from physics_llm_inference_tpu.models.quant import init_params_int8
+    from physics_llm_inference_tpu.kernels.fused_decode import \
+        fused_paged_decode_step
+    from physics_llm_inference_tpu.ops.rope import rope_frequencies
+    from physics_llm_inference_tpu.specs import get_tpu_spec
+    from physics_llm_inference_tpu.utils.timing import readout_timed
+    import numpy as np
+
+    cfg = ModelConfig(vocab_size=256, max_seq_len=2048, dtype="bfloat16",
+                      hidden_dim=4096, num_layers=32, num_heads=32,
+                      num_kv_heads=8, intermediate_dim=11008)
+    L = cfg.num_layers
+    flat = cfg.num_kv_heads * cfg.head_dim
+    NB = B * MB + 1
+    params = init_params_int8(jax.random.PRNGKey(0), cfg)
+    blocks = params["blocks"]
+    del params
+
+    rng = jax.random.PRNGKey(1)
+    kq = jax.random.randint(rng, (L, NB, BS, flat), -127, 128, jnp.int8)
+    vq = jax.random.randint(rng, (L, NB, BS, flat), -127, 128, jnp.int8)
+    ks = jnp.full((L, NB, cfg.num_kv_heads, BS), 0.05, jnp.float32)
+    vs = jnp.full((L, NB, cfg.num_kv_heads, BS), 0.05, jnp.float32)
+    tables = jnp.asarray(
+        np.random.default_rng(0).permutation(B * MB).reshape(B, MB) + 1,
+        jnp.int32)
+    lens0 = jnp.full((B,), 128, jnp.int32)
+    x0 = jax.random.normal(rng, (B, cfg.hidden_dim)).astype(jnp.bfloat16)
+    cos_t, sin_t = rope_frequencies(cfg.head_dim, cfg.max_seq_len,
+                                    cfg.rope_theta)
+
+    @jax.jit
+    def run(blocks, x0, kq, ks, vq, vs):
+        def step(carry, i):
+            x, kq, ks, vq, vs = carry
+            lens = lens0 + i
+            cos_g, sin_g = cos_t[lens], sin_t[lens]
+            x_out, k_new, ksc, v_new, vsc = fused_paged_decode_step(
+                blocks, x, kq, ks, vq, vs, tables, lens, cos_g, sin_g,
+                cfg=cfg)
+            blk = tables[jnp.arange(B), lens // BS]
+            off = lens % BS
+            kq = kq.at[:, blk, off].set(k_new)
+            ks = ks.at[:, blk, :, off].set(ksc.transpose(1, 0, 2))
+            vq = vq.at[:, blk, off].set(v_new)
+            vs = vs.at[:, blk, :, off].set(vsc.transpose(1, 0, 2))
+            xf = x_out.astype(jnp.float32)
+            x = (xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True)
+                                    + 1e-6)).astype(jnp.bfloat16)
+            return (x, kq, ks, vq, vs), None
+
+        carry, _ = jax.lax.scan(step, (x0, kq, ks, vq, vs),
+                                jnp.arange(steps))
+        return carry[0]
+
+    print(f"== paged megakernel 7B B={B} bs={BS} MB={MB} ==", flush=True)
+    t0 = time.time()
+    out, _ = readout_timed(lambda: run(blocks, x0, kq, ks, vq, vs))
+    print(f"compile+first: {time.time()-t0:.1f}s", flush=True)
+    times = []
+    for _ in range(3):
+        out, dt = readout_timed(lambda: run(blocks, x0, kq, ks, vq, vs))
+        times.append(dt)
+    per = min(times) / steps
+    wb = sum(t.q.nbytes + t.s.nbytes for t in
+             (blocks["wqkv"], blocks["wo"], blocks["w_gate_up"],
+              blocks["w_down"]))
+    # live KV bytes actually attended (~192 avg of 512-slot capacity)
+    kvb = 2 * B * 192 * flat
+    floor = (wb + kvb) / get_tpu_spec().hbm_bandwidth
+    print(f"per-step {per*1e3:.3f} ms  (floor ~{floor*1e3:.3f} ms -> "
+          f"{floor/per*100:.1f}% of SoL, {B/per:.0f} tok/s)", flush=True)
+
+
+if __name__ == "__main__":
+    flash_sweep()
+    paged_probe()
