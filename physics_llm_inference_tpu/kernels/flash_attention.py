@@ -140,7 +140,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             block = max(1, block - (1 if block <= 128 else 128))
         return block
 
-    bq = fit(config.block_q, sq)
+    # cap grouped rows: s/p are (g·bq, bk) f32 in VMEM — keep them ~8 MB
+    bq = fit(min(config.block_q, max(128, 2048 // group)), sq)
     bk = fit(config.block_k, sk)
     scale = 1.0 / math.sqrt(d)
     kv_len = sk if kv_len is None else kv_len
@@ -185,6 +186,11 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((b, hkv, group, sq, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * hq * sq * sk * d,
             bytes_accessed=q.nbytes + k.nbytes + v.nbytes + q.nbytes,
