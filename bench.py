@@ -66,12 +66,21 @@ def main():
     log(f"model: {cfg.param_count()/1e9:.2f}B params INT8 W+KV, "
         f"batch {batch}, prompt {prompt_len}, decode {new_tokens}")
 
+    # BENCH_WBITS=4: W4A16 blocks (nibble-packed, kernel-tile group scales)
+    # — halves the weight stream that dominates 7B decode. Default 8.
+    wbits = int(os.environ.get("BENCH_WBITS", "8"))
     if model == "7b":
-        from physics_llm_inference_tpu.models.quant import init_params_int8
+        from physics_llm_inference_tpu.models.quant import (init_params_int4,
+                                                            init_params_int8)
 
-        params = init_params_int8(jax.random.PRNGKey(0), cfg)
+        init = init_params_int4 if wbits == 4 else init_params_int8
+        params = init(jax.random.PRNGKey(0), cfg)
     else:
         params = quantize_params_int8(init_params(jax.random.PRNGKey(0), cfg))
+        if wbits == 4:
+            from physics_llm_inference_tpu.models.quant import \
+                quantize_params_int4
+            params = quantize_params_int4(params)
     rng = np.random.default_rng(0)
     prompts = [list(rng.integers(1, cfg.vocab_size, prompt_len))
                for _ in range(batch)]
@@ -101,9 +110,12 @@ def main():
     ttft_p50_ms = out.prefill_s * 1e3
 
     # Speed-of-light decode throughput: every weight byte + live KV byte
-    # crosses HBM once per step.
+    # crosses HBM once per step. Same floor definition as round 1
+    # (param_count at the native weight width; scales excluded) so
+    # vs_baseline stays comparable across rounds — scaled by wbits for the
+    # int4 native format.
     spec = get_tpu_spec()
-    weight_bytes = cfg.param_count() * 1  # int8
+    weight_bytes = cfg.param_count() * wbits // 8
     kv = calculate_kv_cache_size(batch, prompt_len + new_tokens,
                                  cfg.num_layers, cfg.num_kv_heads,
                                  cfg.head_dim, 1)  # int8 KV

@@ -75,7 +75,19 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
             gu_scr, k8_scr, v8_scr, kscl_scr, vscl_scr, a8_scr, asc_scr,
             *, cfgk):
     (L, B, S, D, F, HQ, HKV, HD, QO, TNQ, TNW, TNG, TK, RB, nq, na, nwo,
-     ngu, ndn, eps, write_cache, act8, wmajor, silu_spread, kblock) = cfgk
+     ngu, ndn, eps, write_cache, act8, wmajor, silu_spread, kblock,
+     w4) = cfgk
+
+    def _w(ref):
+        """Weight tile → MXU operand. INT4: two arithmetic shifts recover
+        the nibbles (low = channels [0, N/2), high = [N/2, N) — the pack
+        order makes the concat come out in natural channel order)."""
+        t = ref[0]
+        if not w4:
+            return t
+        lo = jnp.right_shift(jnp.left_shift(t, 4), 4)
+        hi = jnp.right_shift(t, 4)
+        return jnp.concatenate([lo, hi], axis=-1).astype(jnp.bfloat16)
     l = pl.program_id(0)
     t = pl.program_id(1)
     P_ATTN, P_WO = nq, nq + na
@@ -135,7 +147,7 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
         def _():
             j = t
             a = h_scr[:, pl.ds(j * TNQ, TNQ)]
-            acc = lax.dot_general(a, wqkv_ref[0], (((1,), (0,)), ((), ())),
+            acc = lax.dot_general(a, _w(wqkv_ref), (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
             qkv_scr[:] += acc * sqkv_ref[0]
     else:
@@ -279,7 +291,7 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
         def _():
             j = t - P_WO
             a = attn_scr[:, pl.ds(j * TNW, TNW)]
-            acc = lax.dot_general(a, wo_ref[0], (((1,), (0,)), ((), ())),
+            acc = lax.dot_general(a, _w(wo_ref), (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
             # x_scr carries the residual: K-partials accumulate directly
             x_scr[:] += acc * swo_ref[0]
@@ -307,7 +319,7 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
         def _():
             j = t - P_GU
             a = h_scr[:, pl.ds(j * TNG, TNG)]
-            acc = lax.dot_general(a, wgu_ref[0], (((1,), (0,)), ((), ())),
+            acc = lax.dot_general(a, _w(wgu_ref), (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
             gu_scr[:] += acc * sgu_ref[0]
     else:
@@ -362,7 +374,7 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
                 ff = (jax.nn.silu(gate) * up).astype(jnp.bfloat16)
             else:
                 ff = gu_scr[:, pl.ds(j * TK, TK)].astype(jnp.bfloat16)
-            acc = lax.dot_general(ff, wdn_ref[0], (((1,), (0,)), ((), ())),
+            acc = lax.dot_general(ff, _w(wdn_ref), (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         x_scr[:] += acc * sdn_ref[0]
 
@@ -570,19 +582,18 @@ def fused_paged_decode_ok(cfg, B: int, MB: int, BS: int) -> bool:
         return False
     if cfg.head_dim % 128 != 0 or cfg.hidden_dim % 128 != 0:
         return False
-    if BS % 8 != 0 or BS * MB > 2048 or MB > 8:
+    if BS % 8 != 0 or BS * MB > 2048 or MB > 4:
         return False
-    rbp = _paged_rbp(B, MB)
-    return rbp is not None and B % rbp == 0
+    return _paged_rbp(B, MB) is not None
 
 
 def _paged_rbp(B: int, MB: int) -> int | None:
-    """Requests per attention grid step: bound the operand fan
-    (4·RBP·MB refs) to keep Mosaic happy while amortizing grid steps."""
-    for rbp in (4, 2, 1):
-        if B % rbp == 0 and rbp * MB <= 32:
-            return rbp
-    return None
+    """Requests per attention grid step. 8 exactly: scratch row slices
+    (q/attn at rows [i·RBP, (i+1)·RBP)) must start on a sublane multiple
+    of 8 for Mosaic's vector loads, and the operand fan (4·RBP·MB refs)
+    must stay bounded — hence RBP=8, MB<=4 (per-request KV capacity
+    MB·block_size; use block_size>=128 for long contexts)."""
+    return 8 if (B % 8 == 0 and 8 * MB <= 32) else None
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "tn_target",
@@ -756,6 +767,14 @@ def _pick_ktile(k: int, row_bytes: int, cap: int = 3 << 20) -> int:
     return k
 
 
+def int4_group_size(k: int, n: int) -> int:
+    """The K-tile the kernel uses for an INT4 (K, N) matrix — and therefore
+    the scale GROUP size (models/quant.QuantizedTensor4: one scale row per
+    kernel tile, so group-wise scales factor out of each tile's matmul).
+    Packed rows are n//2 bytes."""
+    return _pick_ktile(k, n // 2)
+
+
 def fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
                       rope_cos_g, rope_sin_g, cfg, slot=None,
                       write_cache: bool = False,
@@ -765,21 +784,25 @@ def fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
     after a first compile takes effect instead of being silently ignored)."""
     import os
 
+    from ..models.quant import QuantizedTensor4
+
     tn_target = int(os.environ.get("FUSED_TN", "512"))
     rb_bytes = int(os.environ.get("FUSED_RB_BYTES", str(1 << 20)))
     silu_spread = os.environ.get("FUSED_SILU", "spread") == "spread"
     kblock = os.environ.get("FUSED_WL", "kblock") == "kblock"
+    w4 = isinstance(params["wqkv"], QuantizedTensor4)
     # N-major weights: auto-detected from the wqkv orientation (see
     # to_nmajor) so callers holding either layout hit the right kernel
     QO = (cfg.num_heads + 2 * cfg.num_kv_heads) * cfg.head_dim
-    wmajor = params["wqkv"].q.shape[1] == QO and QO != cfg.hidden_dim
+    wmajor = (not w4 and params["wqkv"].q.shape[1] == QO
+              and QO != cfg.hidden_dim)
     return _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot,
                               valid_from, rope_cos_g, rope_sin_g, cfg=cfg,
                               slot=slot, write_cache=write_cache,
                               interpret=interpret, tn_target=tn_target,
                               rb_bytes=rb_bytes, wmajor=wmajor,
                               silu_spread=silu_spread,
-                              kblock=kblock and not wmajor)
+                              kblock=(kblock and not wmajor) or w4, w4=w4)
 
 
 def to_nmajor(blocks: dict) -> dict:
@@ -803,14 +826,14 @@ def to_nmajor(blocks: dict) -> dict:
 @functools.partial(jax.jit, static_argnames=("cfg", "write_cache",
                                              "interpret", "tn_target",
                                              "rb_bytes", "wmajor",
-                                             "silu_spread", "kblock"))
+                                             "silu_spread", "kblock", "w4"))
 def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
                        rope_cos_g, rope_sin_g, cfg, slot=None,
                        write_cache: bool = False,
                        interpret: bool | None = None,
                        tn_target: int = 512, rb_bytes: int = 1 << 20,
                        wmajor: bool = False, silu_spread: bool = True,
-                       kblock: bool = False):
+                       kblock: bool = False, w4: bool = False):
     """One full decode step over all layers.
 
     params: the model's quantized "blocks" dict (stacked QuantizedTensors:
@@ -841,7 +864,17 @@ def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
     act8 = getattr(cfg, "act_quant", "none") == "int8"
     if act8:
         kblock = False  # the a8 row buffer is N-phase shaped; rarely-used knob
-    if kblock:
+    assert not (w4 and not kblock), "int4 weights require K-blocked tiles"
+    if w4:
+        # INT4: packed rows are N/2 bytes; K-tiles == scale groups by
+        # construction (int4_group_size — the quantizer uses the same fn),
+        # so each tile's single scale row factors out of its matmul
+        TNQ = int4_group_size(D, QO)
+        TNW = int4_group_size(HQ * HD, D)
+        TNG = int4_group_size(D, 2 * F)
+        TK = int4_group_size(F, D)
+        nq, nwo, ngu = D // TNQ, HQ * HD // TNW, D // TNG
+    elif kblock:
         # K-blocked tiles: window the contraction dim, span full N — every
         # weight tile is ONE contiguous HBM read from the canonical
         # (L, K, N) layout (an N-windowed tile is K strided segments of TN
@@ -883,7 +916,7 @@ def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
 
     cfgk = (L, B, S, D, F, HQ, HKV, HD, QO, TNQ, TNW, TNG, TK, RB, nq, na,
             nwo, ngu, ndn, cfg.norm_eps, write_cache, act8, wmajor,
-            silu_spread, kblock)
+            silu_spread, kblock, w4)
     kernel = functools.partial(_kernel, cfgk=cfgk)
 
     P_ATTN, P_WO = nq, nq + na
@@ -958,13 +991,18 @@ def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
                 pl.BlockSpec((B, D), lambda l, t, sr: (0, 0)),          # x0
                 pl.BlockSpec((1, 1, D), lambda l, t, sr: (l, 0, 0)),    # ln1
                 pl.BlockSpec((1, 1, D), lambda l, t, sr: (l, 0, 0)),    # ln2
-                # weight tiles — three layouts:
+                # weight tiles — four layouts:
+                #   w4: K-windowed over nibble-packed (L,K,N/2) storage;
+                #     scales per (K-group == tile, channel) → windowed (l,j)
                 #   kblock (default): K-windowed, full-N rows → contiguous
                 #     reads from the canonical (L,K,N) storage; scales span
                 #     full N (constant per layer within the phase)
                 #   wmajor: N-windowed over transposed (L,N,K) storage
                 #   legacy: N-windowed over (L,K,N) (strided segments)
-                (pl.BlockSpec((1, TNQ, QO), win(0, nq,                  # wqkv
+                (pl.BlockSpec((1, TNQ, QO // 2), win(0, nq,             # wqkv
+                                                     lambda l, j: (l, j, 0)))
+                 if w4 else
+                 pl.BlockSpec((1, TNQ, QO), win(0, nq,
                                                 lambda l, j: (l, j, 0)))
                  if kblock else
                  pl.BlockSpec((1, TNQ, D), win(0, nq,
@@ -972,11 +1010,17 @@ def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
                  if wmajor else
                  pl.BlockSpec((1, D, TNQ), win(0, nq,
                                                lambda l, j: (l, 0, j)))),
-                (pl.BlockSpec((1, 1, QO), lambda l, t, sr: (l, 0, 0))
+                (pl.BlockSpec((1, 1, QO), win(0, nq,
+                                              lambda l, j: (l, j, 0)))
+                 if w4 else
+                 pl.BlockSpec((1, 1, QO), lambda l, t, sr: (l, 0, 0))
                  if kblock else
                  pl.BlockSpec((1, 1, TNQ), win(0, nq,
                                                lambda l, j: (l, 0, j)))),
-                (pl.BlockSpec((1, TNW, D), win(P_WO, P_GU,              # wo
+                (pl.BlockSpec((1, TNW, D // 2), win(P_WO, P_GU,         # wo
+                                                    lambda l, j: (l, j, 0)))
+                 if w4 else
+                 pl.BlockSpec((1, TNW, D), win(P_WO, P_GU,
                                                lambda l, j: (l, j, 0)))
                  if kblock else
                  pl.BlockSpec((1, TNW, HQ * HD), win(P_WO, P_GU,
@@ -984,11 +1028,17 @@ def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
                  if wmajor else
                  pl.BlockSpec((1, HQ * HD, TNW), win(P_WO, P_GU,
                                                      lambda l, j: (l, 0, j)))),
-                (pl.BlockSpec((1, 1, D), lambda l, t, sr: (l, 0, 0))
+                (pl.BlockSpec((1, 1, D), win(P_WO, P_GU,
+                                             lambda l, j: (l, j, 0)))
+                 if w4 else
+                 pl.BlockSpec((1, 1, D), lambda l, t, sr: (l, 0, 0))
                  if kblock else
                  pl.BlockSpec((1, 1, TNW), win(P_WO, P_GU,
                                                lambda l, j: (l, 0, j)))),
-                (pl.BlockSpec((1, TNG, 2 * F), win(P_GU, P_DN,          # wgu
+                (pl.BlockSpec((1, TNG, F), win(P_GU, P_DN,              # wgu
+                                               lambda l, j: (l, j, 0)))
+                 if w4 else
+                 pl.BlockSpec((1, TNG, 2 * F), win(P_GU, P_DN,
                                                    lambda l, j: (l, j, 0)))
                  if kblock else
                  pl.BlockSpec((1, TNG, D), win(P_GU, P_DN,
@@ -996,13 +1046,22 @@ def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
                  if wmajor else
                  pl.BlockSpec((1, D, TNG), win(P_GU, P_DN,
                                                lambda l, j: (l, 0, j)))),
-                (pl.BlockSpec((1, 1, 2 * F), lambda l, t, sr: (l, 0, 0))
+                (pl.BlockSpec((1, 1, 2 * F), win(P_GU, P_DN,
+                                                 lambda l, j: (l, j, 0)))
+                 if w4 else
+                 pl.BlockSpec((1, 1, 2 * F), lambda l, t, sr: (l, 0, 0))
                  if kblock else
                  pl.BlockSpec((1, 1, TNG), win(P_GU, P_DN,
                                                lambda l, j: (l, 0, j)))),
-                pl.BlockSpec((1, TK, D), win(P_DN, P_DN + ndn,          # wdn
-                                             lambda l, j: (l, j, 0))),
-                pl.BlockSpec((1, 1, D), lambda l, t, sr: (l, 0, 0)),    # sdn
+                (pl.BlockSpec((1, TK, D // 2), win(P_DN, P_DN + ndn,    # wdn
+                                                   lambda l, j: (l, j, 0)))
+                 if w4 else
+                 pl.BlockSpec((1, TK, D), win(P_DN, P_DN + ndn,
+                                              lambda l, j: (l, j, 0)))),
+                (pl.BlockSpec((1, 1, D), win(P_DN, P_DN + ndn,
+                                             lambda l, j: (l, j, 0)))
+                 if w4 else
+                 pl.BlockSpec((1, 1, D), lambda l, t, sr: (l, 0, 0))),  # sdn
                 pl.BlockSpec((1, RB, S, flat_hd),                       # kq
                              attn_win(lambda l, i: (l, i, 0, 0))),
                 pl.BlockSpec((1, RB, HKV, S),

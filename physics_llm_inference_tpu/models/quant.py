@@ -35,6 +35,52 @@ class QuantizedTensor(NamedTuple):
         return (self.q.astype(jnp.float32) * self.s).astype(dtype)
 
 
+class QuantizedTensor4(NamedTuple):
+    """INT4 weight-only container: nibble-packed values + GROUP-WISE scales.
+
+    q: int8 (L, K, N//2) — byte j of a row packs output channel j in the
+       LOW nibble and channel N//2 + j in the HIGH nibble (two's
+       complement). Unpacking is two arithmetic shifts and a concat, and
+       the channel order comes out natural — no permutation anywhere.
+    s: f32 (L, K//G, N) — one scale per (K-group, output channel). The
+       group size G equals the fused decode kernel's K-tile width for this
+       matrix (kernels/fused_decode int4_group_size), so inside the kernel
+       each weight tile sees a SINGLE scale row: the scale factors out of
+       the tile's matmul and group-wise int4 costs nothing over
+       per-channel. This is what K-blocked tiling buys for int4.
+    """
+
+    q: jnp.ndarray
+    s: jnp.ndarray
+
+    @property
+    def shape(self):
+        l, k, nh = self.q.shape
+        return (l, k, 2 * nh)
+
+    @property
+    def group(self) -> int:
+        return self.q.shape[1] // self.s.shape[1]
+
+    def dequantize(self, dtype=jnp.bfloat16) -> jnp.ndarray:
+        lo = jnp.right_shift(jnp.left_shift(self.q, 4), 4)
+        hi = jnp.right_shift(self.q, 4)
+        w4 = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+        g = self.group
+        l, k, n = self.shape
+        sfull = jnp.repeat(self.s, g, axis=1)
+        return (w4 * sfull).astype(dtype)
+
+    def dequantize_layer(self, layer, dtype=jnp.bfloat16) -> jnp.ndarray:
+        """One layer's (K, N) weights (for the per-op/prefill path)."""
+        q = jax.lax.dynamic_index_in_dim(self.q, layer, 0, keepdims=False)
+        s = jax.lax.dynamic_index_in_dim(self.s, layer, 0, keepdims=False)
+        lo = jnp.right_shift(jnp.left_shift(q, 4), 4)
+        hi = jnp.right_shift(q, 4)
+        w4 = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+        return (w4 * jnp.repeat(s, self.group, axis=0)).astype(dtype)
+
+
 _QUANT_LEAVES = ("wqkv", "wo", "w_gate_up", "w_down",
                  "moe_w1", "moe_w2", "moe_w3")
 
@@ -114,16 +160,113 @@ def init_params_int8(rng, cfg) -> dict:
     }
 
 
+def _quantize_stacked_int4(w: jnp.ndarray, group: int) -> QuantizedTensor4:
+    """(L, K, N) → nibble-packed int4 with (L, K//G, N) group scales."""
+    l, k, n = w.shape
+    assert k % group == 0 and n % 2 == 0
+    wf = w.astype(jnp.float32).reshape(l, k // group, group, n)
+    amax = jnp.max(jnp.abs(wf), axis=2, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wf / s), -8, 7).astype(jnp.int8).reshape(l, k, n)
+    lo = q[..., :n // 2]
+    hi = q[..., n // 2:]
+    packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0x0F),
+                            jnp.left_shift(hi, 4)).astype(jnp.int8)
+    return QuantizedTensor4(packed, s[:, :, 0, :])
+
+
+def quantize_params_int4(params: dict) -> dict:
+    """INT4 (W4A16) block weights; embeds/norms/lm_head stay as in the INT8
+    path (lm_head int8 — its N=vocab is the logits edge where 4-bit error
+    is most visible and its bytes are ~2% of a 7B)."""
+    from ..kernels.fused_decode import int4_group_size
+
+    out = {
+        "embed": params["embed"],
+        "norm": params["norm"],
+        "blocks": {},
+    }
+    for name, w in params["blocks"].items():
+        if name in _QUANT_LEAVES:
+            if isinstance(w, QuantizedTensor):
+                w = w.dequantize(jnp.float32)
+            _, k, n = w.shape
+            out["blocks"][name] = _quantize_stacked_int4(
+                w, int4_group_size(k, n))
+        else:
+            out["blocks"][name] = w
+    lm = params["lm_head"]
+    if not isinstance(lm, QuantizedTensor):
+        q, s = quantize_int8(lm, axis=0)
+        lm = QuantizedTensor(q, s)
+    out["lm_head"] = lm
+    return out
+
+
+def init_params_int4(rng, cfg) -> dict:
+    """Direct-int4 init for bench-scale models (see init_params_int8)."""
+    from ..kernels.fused_decode import int4_group_size
+
+    d, f, v = cfg.hidden_dim, cfg.intermediate_dim, cfg.vocab_size
+    hd = cfg.head_dim
+    L = cfg.num_layers
+    qkv_out = (cfg.num_heads + 2 * cfg.num_kv_heads) * hd
+
+    def qw4(key, shape, fan_in):
+        l, k, n = shape
+        g = int4_group_size(k, n)
+        keys = jax.random.split(key, l)
+        packed = jnp.stack([
+            jax.random.randint(kk, (k, n // 2), -128, 128, jnp.int8)
+            for kk in keys])
+        # std of a uniform int4 nibble ≈ 4.6; match fan_in**-0.5 dequant std
+        s = jnp.full((l, k // g, n), (fan_in ** -0.5) / 4.6, jnp.float32)
+        return QuantizedTensor4(packed, s)
+
+    def qw8(key, shape, fan_in):
+        keys = jax.random.split(key, shape[0]) if len(shape) == 3 else [key]
+        if len(shape) == 3:
+            q = jnp.stack([jax.random.randint(k, shape[1:], -127, 128,
+                                              jnp.int8) for k in keys])
+            s = jnp.full(shape[:-2] + (1, shape[-1]),
+                         (fan_in ** -0.5) / 73.9, jnp.float32)
+        else:
+            q = jax.random.randint(key, shape, -127, 128, jnp.int8)
+            s = jnp.full((1, shape[-1]), (fan_in ** -0.5) / 73.9, jnp.float32)
+        return QuantizedTensor(q, s)
+
+    keys = jax.random.split(rng, 8)
+    dtype = jnp.dtype(cfg.dtype)
+    blocks = {
+        "ln1": jnp.ones((L, d), dtype),
+        "wqkv": qw4(keys[1], (L, d, qkv_out), d),
+        "wo": qw4(keys[4], (L, cfg.num_heads * hd, d), d),
+        "ln2": jnp.ones((L, d), dtype),
+        "w_gate_up": qw4(keys[5], (L, d, 2 * f), d),
+        "w_down": qw4(keys[6], (L, f, d), f),
+    }
+    emb = (jax.random.normal(keys[0], (v, d)) * (d ** -0.5)).astype(dtype)
+    return {
+        "embed": emb,
+        "blocks": blocks,
+        "norm": jnp.ones((d,), dtype),
+        "lm_head": qw8(keys[7], (d, v), d),
+    }
+
+
 def quantized_param_bytes(params: dict) -> dict:
     """Memory accounting: bytes by precision class (the decode-bandwidth
     denominator for the roofline model)."""
     int8 = 0
+    int4 = 0
     other = 0
-    for leaf in jax.tree_util.tree_leaves(
-            params, is_leaf=lambda x: isinstance(x, QuantizedTensor)):
-        if isinstance(leaf, QuantizedTensor):
+    is_q = lambda x: isinstance(x, (QuantizedTensor, QuantizedTensor4))
+    for leaf in jax.tree_util.tree_leaves(params, is_leaf=is_q):
+        if isinstance(leaf, QuantizedTensor4):
+            int4 += leaf.q.nbytes + leaf.s.nbytes
+        elif isinstance(leaf, QuantizedTensor):
             int8 += leaf.q.nbytes + leaf.s.nbytes
         else:
             other += leaf.nbytes
-    return {"int8_bytes": int8, "other_bytes": other,
-            "total_bytes": int8 + other}
+    return {"int8_bytes": int8, "int4_bytes": int4, "other_bytes": other,
+            "total_bytes": int8 + int4 + other}

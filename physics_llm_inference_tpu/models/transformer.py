@@ -57,11 +57,12 @@ def layer_view(blocks: dict, l: jnp.ndarray) -> dict:
     kernel indexes the layer inside its DMA descriptors — no copy); small
     leaves (norm scales) and non-2D quantized stacks (MoE experts) are
     dynamic-sliced, exactly what scanning them as xs would do."""
-    from .quant import QuantizedTensor
+    from .quant import QuantizedTensor, QuantizedTensor4
 
     bp = {}
     for name, w in blocks.items():
-        if isinstance(w, QuantizedTensor) and w.q.ndim == 3:
+        if isinstance(w, (QuantizedTensor, QuantizedTensor4)) \
+                and w.q.ndim == 3:
             bp[name] = StackedQuant(w, l)
         elif isinstance(w, QuantizedTensor):
             bp[name] = QuantizedTensor(
@@ -77,12 +78,22 @@ def _linear(x: jnp.ndarray, w) -> jnp.ndarray:
     (Pallas int8_matmul kernel on TPU when dims tile onto the MXU, fused
     dequant matmul otherwise); StackedQuant → INT8 path with in-kernel layer
     indexing. x: (..., K); returns (..., N)."""
-    from .quant import QuantizedTensor
+    from .quant import QuantizedTensor, QuantizedTensor4
 
     layer = None
     if isinstance(w, StackedQuant):
         layer = w.layer
         w = w.w
+    if isinstance(w, QuantizedTensor4):
+        # INT4 per-op/prefill fallback: unpack + group-scale this layer's
+        # weights in XLA and run a dense matmul. Decode never lands here —
+        # the fused kernel unpacks int4 tiles in VMEM (fused_decode).
+        wd = (w.dequantize_layer(layer, x.dtype) if layer is not None
+              else w.dequantize(x.dtype))
+        n = wd.shape[-1]
+        out = jnp.dot(x.reshape(-1, wd.shape[-2]), wd,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+        return out.reshape(*x.shape[:-1], n)
     if not isinstance(w, QuantizedTensor):
         if layer is not None:
             w = lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
@@ -426,7 +437,23 @@ def block_forward(
     # caches. s is static under jit, so this resolves at trace time.
     impl = cfg.attention_impl
     if impl == "auto":
-        impl = "flash" if (s >= 128 and on_tpu) else "dense"
+        # measured crossover (scripts/probe_flash_paged.py, v5e): XLA dense
+        # wins below ~1k total context (flash pays fixed grid overheads),
+        # flash wins 2.6-5.5x above. Dense materializes (B, Hq, Sq, Sk)
+        # scores, so force flash once that exceeds a VMEM-friendly budget
+        # regardless of the crossover.
+        if kv is not None:
+            arr = kv[0].q if isinstance(kv[0], QuantKV) else kv[0]
+            # stacked caches carry a leading layer dim: (L,B,S,…) / flat
+            # QuantKV (L,B,S,Hkv·hd); unstacked drop it
+            stacked = arr.ndim == (4 if isinstance(kv[0], QuantKV) else 5)
+            sk = arr.shape[2] if stacked else arr.shape[1]
+        else:
+            sk = s
+        score_mb = b * cfg.num_heads * s * sk * 2 / (1 << 20)
+        impl = "flash" if (on_tpu and s >= 128
+                           and (max(s, sk) >= 1024 or score_mb > 512)) \
+            else "dense"
 
     if kv is None:
         kq = k.transpose(0, 2, 1, 3)
@@ -500,11 +527,22 @@ def _fused_decode_ok(params: dict, cfg: ModelConfig, b: int,
         return False
     if not isinstance(kv.k, QuantKV):
         return False
+    from .quant import QuantizedTensor4
+
     blocks = params["blocks"]
-    for name in ("wqkv", "wo", "w_gate_up", "w_down"):
-        w = blocks.get(name)
-        if not (isinstance(w, QuantizedTensor) and w.q.ndim == 3):
+    kinds = {type(blocks.get(name))
+             for name in ("wqkv", "wo", "w_gate_up", "w_down")}
+    # all-int8 or all-int4 stacks (the kernel compiles one weight format)
+    if kinds == {QuantizedTensor4}:
+        if any(blocks[n].q.ndim != 3
+               for n in ("wqkv", "wo", "w_gate_up", "w_down")):
             return False
+    elif kinds == {QuantizedTensor}:
+        if any(blocks[n].q.ndim != 3
+               for n in ("wqkv", "wo", "w_gate_up", "w_down")):
+            return False
+    else:
+        return False
     d, f, hd = cfg.hidden_dim, cfg.intermediate_dim, cfg.head_dim
     qo = (cfg.num_heads + 2 * cfg.num_kv_heads) * hd
     s_max = kv.k.q.shape[2]

@@ -58,6 +58,22 @@ class PagedEngineConfig:
     # while requests are waiting, and discards tokens past a stop.
     decode_horizon: int = 8
 
+    @classmethod
+    def for_fused(cls, max_batch: int = 64, max_seq_len: int = 512,
+                  spare_blocks: int = 16, **kw) -> "PagedEngineConfig":
+        """Geometry that routes decode through the fused whole-model paged
+        megakernel (kernels/fused_decode.fused_paged_decode_ok): large
+        blocks (contiguous DMA through the block-table fan), <=4 blocks
+        per request, batch a multiple of 8. Coarser blocks trade radix
+        prefix-sharing granularity for the ~2x per-op decode overhead the
+        megakernel removes — the right trade for throughput serving."""
+        bs = max(32, min(2048, max_seq_len) // 4)
+        mb = (max_seq_len + bs - 1) // bs
+        assert mb <= 4
+        return cls(block_size=bs, max_blocks_per_request=mb,
+                   max_batch=max_batch,
+                   num_blocks=max_batch * mb + spare_blocks, **kw)
+
 
 class PagedInferenceEngine:
     def __init__(self, params, model_cfg: ModelConfig,

@@ -21,32 +21,63 @@ import jax
 import jax.numpy as jnp
 
 
-def flash_sweep():
-    from physics_llm_inference_tpu.bench.micro import bench_attention
+def flash_sweep(reps=8):
+    """Chained in-jit reps + calibrated value readout: a host loop around
+    single calls measures the ~25 ms relay round-trip, not the kernel
+    (docs/PERF.md measurement rules)."""
+    from physics_llm_inference_tpu.kernels.flash_attention import \
+        flash_attention
+    from physics_llm_inference_tpu.ops.gqa import grouped_sdpa
+    from physics_llm_inference_tpu.utils.timing import readout_timed
 
     print("== flash vs XLA dense (B=4, 32q/8kv heads, d=128, causal) ==",
           flush=True)
+    B, HQ, HKV, D = 4, 32, 8, 128
     for seq in (512, 1024, 2048, 4096, 8192):
-        rows = {}
-        for use_flash in (True, False):
-            if not use_flash and seq > 4096:
-                continue  # dense S=8192 materializes (B,H,S,S) > HBM budget
-            r = bench_attention(batch=4, heads=32, kv_heads=8, seq=seq,
-                                head_dim=128, use_flash=use_flash, iters=5)
-            rows["flash" if use_flash else "xla"] = r
-        f = rows["flash"]
-        msg = (f"S={seq:5d}  flash {f['mean_ms']:7.2f} ms "
-               f"({f['achieved_tflops']:5.1f} TF, "
-               f"{100*f['roofline_fraction']:4.0f}% roofline)")
-        if "xla" in rows:
-            x = rows["xla"]
-            msg += (f"   xla {x['mean_ms']:7.2f} ms "
-                    f"({x['achieved_tflops']:5.1f} TF)  "
-                    f"speedup {x['mean_ms']/f['mean_ms']:4.2f}x")
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(ks[0], (B, HQ, seq, D), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (B, HKV, seq, D), jnp.bfloat16)
+        v = jax.random.normal(ks[2], (B, HKV, seq, D), jnp.bfloat16)
+        idx = jnp.arange(seq)
+        mask = (idx[None, :] <= idx[:, None])[None, None, None]
+
+        def chained(fn):
+            @jax.jit
+            def run(q, k, v):
+                def step(qq, i):
+                    o = fn(qq, k, v)
+                    # feed output back so no rep can be elided
+                    return (o * 1e-3 + qq * 0.999).astype(qq.dtype), None
+                qq, _ = jax.lax.scan(step, q, jnp.arange(reps))
+                return qq
+            return run
+
+        flops = 4.0 * B * HQ * seq * seq * D * 0.5
+        row = {}
+        for name, fn in (("flash", lambda q, k, v:
+                          flash_attention(q, k, v, causal=True)),
+                         ("xla", lambda q, k, v:
+                          grouped_sdpa(q, k, v, mask=mask))):
+            if name == "xla" and seq > 4096:
+                continue  # dense materializes (B,H,S,S) past the budget
+            run = chained(fn)
+            out, _ = readout_timed(lambda: run(q, k, v))   # compile
+            times = []
+            for _ in range(3):
+                out, dt = readout_timed(lambda: run(q, k, v))
+                times.append(dt)
+            per = min(times) / reps
+            row[name] = (per, flops / per / 1e12)
+        f_ms, f_tf = row["flash"]
+        msg = f"S={seq:5d}  flash {f_ms*1e3:7.2f} ms ({f_tf:5.1f} TF)"
+        if "xla" in row:
+            x_ms, x_tf = row["xla"]
+            msg += (f"   xla {x_ms*1e3:7.2f} ms ({x_tf:5.1f} TF)  "
+                    f"speedup {x_ms/f_ms:4.2f}x")
         print(msg, flush=True)
 
 
-def paged_probe(B=64, BS=64, MB=8, steps=32):
+def paged_probe(B=64, BS=128, MB=4, steps=32):
     from physics_llm_inference_tpu.models import ModelConfig
     from physics_llm_inference_tpu.models.quant import init_params_int8
     from physics_llm_inference_tpu.kernels.fused_decode import \
@@ -79,49 +110,68 @@ def paged_probe(B=64, BS=64, MB=8, steps=32):
     cos_t, sin_t = rope_frequencies(cfg.head_dim, cfg.max_seq_len,
                                     cfg.rope_theta)
 
-    @jax.jit
-    def run(blocks, x0, kq, ks, vq, vs):
-        def step(carry, i):
-            x, kq, ks, vq, vs = carry
-            lens = lens0 + i
-            cos_g, sin_g = cos_t[lens], sin_t[lens]
-            x_out, k_new, ksc, v_new, vsc = fused_paged_decode_step(
-                blocks, x, kq, ks, vq, vs, tables, lens, cos_g, sin_g,
-                cfg=cfg)
-            blk = tables[jnp.arange(B), lens // BS]
-            off = lens % BS
-            kq = kq.at[:, blk, off].set(k_new)
-            ks = ks.at[:, blk, :, off].set(ksc.transpose(1, 0, 2))
-            vq = vq.at[:, blk, off].set(v_new)
-            vs = vs.at[:, blk, :, off].set(vsc.transpose(1, 0, 2))
-            xf = x_out.astype(jnp.float32)
-            x = (xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True)
-                                    + 1e-6)).astype(jnp.bfloat16)
-            return (x, kq, ks, vq, vs), None
+    def make_run(scatter: bool):
+        @jax.jit
+        def run(blocks, x0, kq, ks, vq, vs):
+            def step(carry, i):
+                x, kq, ks, vq, vs = carry
+                lens = lens0 + (i if scatter else 0)
+                cos_g, sin_g = cos_t[lens], sin_t[lens]
+                x_out, k_new, ksc, v_new, vsc = fused_paged_decode_step(
+                    blocks, x, kq, ks, vq, vs, tables, lens, cos_g, sin_g,
+                    cfg=cfg)
+                if scatter:
+                    blk = tables[jnp.arange(B), lens // BS]
+                    off = lens % BS
+                    kq = kq.at[:, blk, off].set(k_new)
+                    ks = ks.at[:, blk, :, off].set(ksc.transpose(1, 0, 2))
+                    vq = vq.at[:, blk, off].set(v_new)
+                    vs = vs.at[:, blk, :, off].set(vsc.transpose(1, 0, 2))
+                else:
+                    # fold outputs into x so the kernel can't be elided,
+                    # but leave the pools untouched (isolates kernel time
+                    # from the XLA pool-scatter time)
+                    x_out = x_out + (k_new[0, :, :1] + v_new[0, :, :1]
+                                     ).astype(x_out.dtype)
+                xf = x_out.astype(jnp.float32)
+                x = (xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True)
+                                        + 1e-6)).astype(jnp.bfloat16)
+                return (x, kq, ks, vq, vs), None
 
-        carry, _ = jax.lax.scan(step, (x0, kq, ks, vq, vs),
-                                jnp.arange(steps))
-        return carry[0]
+            carry, _ = jax.lax.scan(step, (x0, kq, ks, vq, vs),
+                                    jnp.arange(steps))
+            return carry[0]
+        return run
 
-    print(f"== paged megakernel 7B B={B} bs={BS} MB={MB} ==", flush=True)
-    t0 = time.time()
-    out, _ = readout_timed(lambda: run(blocks, x0, kq, ks, vq, vs))
-    print(f"compile+first: {time.time()-t0:.1f}s", flush=True)
-    times = []
-    for _ in range(3):
-        out, dt = readout_timed(lambda: run(blocks, x0, kq, ks, vq, vs))
-        times.append(dt)
-    per = min(times) / steps
     wb = sum(t.q.nbytes + t.s.nbytes for t in
              (blocks["wqkv"], blocks["wo"], blocks["w_gate_up"],
               blocks["w_down"]))
     # live KV bytes actually attended (~192 avg of 512-slot capacity)
     kvb = 2 * B * 192 * flat
     floor = (wb + kvb) / get_tpu_spec().hbm_bandwidth
-    print(f"per-step {per*1e3:.3f} ms  (floor ~{floor*1e3:.3f} ms -> "
-          f"{floor/per*100:.1f}% of SoL, {B/per:.0f} tok/s)", flush=True)
+    print(f"== paged megakernel 7B B={B} bs={BS} MB={MB} ==", flush=True)
+    for scatter in (False, True):
+        run = make_run(scatter)
+        t0 = time.time()
+        out, _ = readout_timed(lambda: run(blocks, x0, kq, ks, vq, vs))
+        c = time.time() - t0
+        times = []
+        for _ in range(3):
+            out, dt = readout_timed(lambda: run(blocks, x0, kq, ks, vq, vs))
+            times.append(dt)
+        per = min(times) / steps
+        print(f"scatter={scatter}  compile {c:5.1f}s  "
+              f"per-step {per*1e3:.3f} ms  (floor ~{floor*1e3:.3f} ms -> "
+              f"{floor/per*100:.1f}% of SoL, {B/per:.0f} tok/s)", flush=True)
 
 
 if __name__ == "__main__":
-    flash_sweep()
-    paged_probe()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="", choices=["", "flash", "paged"])
+    a = ap.parse_args()
+    if a.only in ("", "flash"):
+        flash_sweep()
+    if a.only in ("", "paged"):
+        paged_probe()

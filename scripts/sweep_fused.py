@@ -50,10 +50,12 @@ def main():
     ap.add_argument("--start", type=int, default=128)
     ap.add_argument("--only", default="",
                     help="comma-separated tag substrings to run")
+    ap.add_argument("--wbits", type=int, default=8, choices=[4, 8])
     args = ap.parse_args()
 
     from physics_llm_inference_tpu.models import ModelConfig
-    from physics_llm_inference_tpu.models.quant import init_params_int8
+    from physics_llm_inference_tpu.models.quant import (init_params_int4,
+                                                        init_params_int8)
     from physics_llm_inference_tpu.kernels.fused_decode import (
         fused_decode_step, to_nmajor)
     from physics_llm_inference_tpu.ops.rope import rope_frequencies
@@ -71,7 +73,8 @@ def main():
     B, S, L = args.batch, args.seq, cfg.num_layers
     flat = cfg.num_kv_heads * cfg.head_dim
 
-    params = init_params_int8(jax.random.PRNGKey(0), cfg)
+    init = init_params_int4 if args.wbits == 4 else init_params_int8
+    params = init(jax.random.PRNGKey(0), cfg)
     blocks_km = params["blocks"]
     del params
     configs = [c for c in CONFIGS

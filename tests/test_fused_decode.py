@@ -183,7 +183,7 @@ class TestFusedPagedParity:
     megakernel on identical KV content, and with the kernel's variant
     flags (wmajor / silu_spread) active."""
 
-    def _paged_setup(self, B=4, BS=8, MB=4, seed=0):
+    def _paged_setup(self, B=8, BS=8, MB=4, seed=0):
         from physics_llm_inference_tpu.models.quant import init_params_int8
 
         cfg = ModelConfig(vocab_size=64, hidden_dim=256, num_layers=2,
@@ -286,3 +286,77 @@ class TestFusedPagedParity:
             np.testing.assert_allclose(
                 np.asarray(s2[:, blk[r], :, off[r]]), np.asarray(ksc[:, r]),
                 rtol=1e-6)
+
+
+class TestFusedInt4:
+    """W4A16: nibble-packed weights with kernel-tile-aligned group scales
+    through BOTH paths — the fused kernel (in-VMEM unpack) and the per-op
+    _linear fallback (XLA dequant) share the same QuantizedTensor4 params,
+    so they must agree."""
+
+    def _setup4(self, B=8, P=12, S=32):
+        from physics_llm_inference_tpu.models.quant import (
+            QuantizedTensor4, quantize_params_int4)
+
+        fp = init_params(jax.random.PRNGKey(0), CFG)
+        params = quantize_params_int4(fp)
+        assert isinstance(params["blocks"]["wqkv"], QuantizedTensor4)
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(1, 256, (B, P)), jnp.int32)
+        cache = KVCache.create(CFG, B, S, dtype=jnp.int8)
+        logits_p, kv = forward(params, ids, CFG, kv=cache.as_slice(),
+                               last_only=True)
+        tok = jnp.argmax(logits_p[:, 0], -1)[:, None].astype(jnp.int32)
+        return params, kv, tok, P
+
+    def test_int4_fused_matches_per_op(self):
+        B = 8
+        params, kv, tok, P = self._setup4(B=B)
+        logits_ref, _ = forward(params, tok, CFG, kv=kv, last_only=True)
+        (x_out, *_), _ = _fused(params, kv, tok, P, B)
+        xn = rms_norm(x_out[:, None], params["norm"], CFG.norm_eps)
+        logits_f = _linear(xn, params["lm_head"]).astype(jnp.float32)
+        rel = float(jnp.linalg.norm(logits_f[:, 0] - logits_ref[:, 0])
+                    / jnp.linalg.norm(logits_ref[:, 0]))
+        assert rel < 0.03, rel
+
+    def test_int4_dequant_roundtrip(self):
+        from physics_llm_inference_tpu.models.quant import (
+            _quantize_stacked_int4)
+
+        w = jax.random.normal(jax.random.PRNGKey(3), (2, 256, 128),
+                              jnp.float32) * 0.05
+        t4 = _quantize_stacked_int4(w, group=128)
+        deq = t4.dequantize(jnp.float32)
+        assert deq.shape == w.shape
+        # int4 RTN with group-128 absmax scales: bounded relative error
+        rel = float(jnp.linalg.norm(deq - w) / jnp.linalg.norm(w))
+        assert rel < 0.12, rel
+        # per-layer slice agrees with the full dequant
+        np.testing.assert_allclose(
+            np.asarray(t4.dequantize_layer(1, jnp.float32)),
+            np.asarray(deq[1]), rtol=1e-6, atol=1e-6)
+
+    def test_int4_group_matches_kernel_tiles(self):
+        from physics_llm_inference_tpu.kernels.fused_decode import \
+            int4_group_size
+
+        params, *_ = self._setup4()
+        for name in ("wqkv", "wo", "w_gate_up", "w_down"):
+            t4 = params["blocks"][name]
+            l, k, n = t4.shape
+            assert t4.group == int4_group_size(k, n), name
+
+    def test_int4_generate_end_to_end(self):
+        from physics_llm_inference_tpu.models.quant import \
+            quantize_params_int4
+        from physics_llm_inference_tpu.runtime import cached_generate
+
+        fp = init_params(jax.random.PRNGKey(0), CFG)
+        p4 = quantize_params_int4(fp)
+        out = cached_generate(p4, CFG, [[5, 9, 2, 7]], 6, temperature=0.0,
+                              kv_dtype=jnp.int8)
+        assert out.tokens.shape == (1, 6)
+        # int4 vs fp weights: same model family, tokens may diverge but the
+        # run must be finite and in-vocab
+        assert int(out.tokens.max()) < CFG.vocab_size

@@ -203,3 +203,30 @@ def test_paged_warmup(params):
                                          max_tokens=3, temperature=0.0))
     assert len(res.tokens) == 3
     assert eng._prefill_cache.stats()["compiled_shapes"] == compiled
+
+
+class TestFusedGeometry:
+    def test_for_fused_preset_is_eligible(self, params):
+        from physics_llm_inference_tpu.kernels.fused_decode import \
+            fused_paged_decode_ok
+        from physics_llm_inference_tpu.models import ModelConfig
+
+        cfg7 = ModelConfig(vocab_size=32000, hidden_dim=4096, num_layers=32,
+                           num_heads=32, num_kv_heads=8,
+                           intermediate_dim=11008, max_seq_len=2048)
+        pc = PagedEngineConfig.for_fused(max_batch=64, max_seq_len=512)
+        assert fused_paged_decode_ok(cfg7, pc.max_batch,
+                                     pc.max_blocks_per_request,
+                                     pc.block_size)
+        assert pc.block_size * pc.max_blocks_per_request >= 512
+
+    def test_for_fused_preset_serves(self, params):
+        pc = PagedEngineConfig.for_fused(max_batch=8, max_seq_len=64,
+                                         prompt_buckets=(8, 16, 32),
+                                         enable_radix=False)
+        eng = PagedInferenceEngine(params, CFG, pc)
+        res = eng.generate(GenerationRequest(prompt_tokens=[5, 17, 3],
+                                             max_tokens=6, temperature=0.0))
+        from physics_llm_inference_tpu.runtime import cached_generate
+        ref = cached_generate(params, CFG, [[5, 17, 3]], 6, temperature=0.0)
+        np.testing.assert_array_equal(res.tokens, ref.tokens[0])
