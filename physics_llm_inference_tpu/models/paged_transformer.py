@@ -40,9 +40,19 @@ def _paged_fused_ok(params, cfg: ModelConfig, b: int, k_pools,
     """Gate for the fused whole-model PAGED decode kernel — the paged twin
     of transformer._fused_decode_ok (same weight/TP/MoE requirements, plus
     the block-fan limits of kernels/fused_decode.fused_paged_decode_ok)."""
+    import os
+
     from ..kernels.fused_decode import fused_paged_decode_ok
     from .quant import QuantizedTensor
 
+    # OPT-IN (FUSED_PAGED=1): the block-table-fan megakernel measured 36.6
+    # ms/step at 7B B=64 bs=128 MB=4 vs ~10 ms per-op — the 4·RBP·MB
+    # operand fan fragments the DMA stream (Mosaic pipelining degrades
+    # with 130+ operands) and clamped dead columns re-fetch live blocks
+    # ~4x. Kept for further schedule work; the per-op paged path (paged
+    # int8 attention + int8_matmul per layer) is the production default.
+    if os.environ.get("FUSED_PAGED", "0") != "1":
+        return False
     if not (cfg.fused_decode and cfg.use_rope
             and jax.default_backend() == "tpu"
             and cfg.attention_impl != "dense" and cfg.tp_axis is None):

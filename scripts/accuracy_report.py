@@ -77,6 +77,16 @@ def main():
     print(f"decode path: fp32 {ppl_dec_fp:.4f}  int8 W+KV {ppl_dec_q:.4f}  "
           f"delta {d_dec:+.4f}", flush=True)
 
+    # 2b. INT4 W (group-wise) + INT8 KV — the W4A16 native format
+    from physics_llm_inference_tpu.models.quant import quantize_params_int4
+    params_q4 = quantize_params_int4(params)
+    ppl_dec_q4 = decode_path_perplexity(params_q4, cfg, held,
+                                        window=args.window,
+                                        kv_dtype=jnp.int8)
+    d_dec4 = ppl_dec_q4 - ppl_dec_fp
+    print(f"decode path int4: {ppl_dec_q4:.4f}  delta {d_dec4:+.4f}",
+          flush=True)
+
     # 3. real tokenizer through the pool
     from tokenizers import Tokenizer, decoders
     tok_path = os.path.join(args.ckpt, "tokenizer.json")
@@ -110,6 +120,7 @@ the same numerics path bench.py serves with).
 |---|---|---|---|---|
 | parallel forward (W-only INT8) | {rep['ppl_fp']:.4f} | {rep['ppl_quantized']:.4f} | {rep['delta']:+.4f} | {'PASS' if rep['within_budget'] else 'FAIL'} |
 | decode path (INT8 W+KV, serving machinery) | {ppl_dec_fp:.4f} | {ppl_dec_q:.4f} | {d_dec:+.4f} | {'PASS' if abs(d_dec) <= 0.1 else 'FAIL'} |
+| decode path (INT4 W group-wise + INT8 KV) | {ppl_dec_fp:.4f} | {ppl_dec_q4:.4f} | {d_dec4:+.4f} | int4 is measured, not budgeted: the 0.1 bar is the INT8 native format's |
 
 Tokenizer: trained BPE (vocab {cfg.vocab_size}) through TokenizerPool —
 round-trip exact: {tok_ok}.

@@ -165,13 +165,81 @@ def paged_probe(B=64, BS=128, MB=4, steps=32):
               f"{floor/per*100:.1f}% of SoL, {B/per:.0f} tok/s)", flush=True)
 
 
+
+
+def paged_perop_probe(B=64, BS=128, MB=4, steps=16, horizon=8):
+    """The paged engine's PRODUCTION decode dispatch (per-op path:
+    paged_decode_scan → int8 paged attention + layer-indexed int8 matmuls)
+    at 7B serving shapes — the paged-vs-slot throughput comparison."""
+    import numpy as np
+
+    from physics_llm_inference_tpu.models import ModelConfig
+    from physics_llm_inference_tpu.models.quant import init_params_int8
+    from physics_llm_inference_tpu.models.transformer import QuantKV
+    from physics_llm_inference_tpu.models.paged_transformer import \
+        paged_decode_scan
+    from physics_llm_inference_tpu.specs import get_tpu_spec
+    from physics_llm_inference_tpu.utils.timing import readout_timed
+
+    cfg = ModelConfig(vocab_size=32000, max_seq_len=2048, dtype="bfloat16",
+                      hidden_dim=4096, num_layers=32, num_heads=32,
+                      num_kv_heads=8, intermediate_dim=11008)
+    L = cfg.num_layers
+    flat = cfg.num_kv_heads * cfg.head_dim
+    NB = B * MB + 1
+    params = init_params_int8(jax.random.PRNGKey(0), cfg)
+
+    rng = jax.random.PRNGKey(1)
+    kq = jax.random.randint(rng, (L, NB, BS, flat), -127, 128, jnp.int8)
+    vq = jax.random.randint(rng, (L, NB, BS, flat), -127, 128, jnp.int8)
+    ks = jnp.full((L, NB, cfg.num_kv_heads, BS), 0.05, jnp.float32)
+    vs = jnp.full((L, NB, cfg.num_kv_heads, BS), 0.05, jnp.float32)
+    k_pools = QuantKV(q=kq, s=ks)
+    v_pools = QuantKV(q=vq, s=vs)
+    tables = jnp.asarray(
+        np.random.default_rng(0).permutation(B * MB).reshape(B, MB) + 1,
+        jnp.int32)
+    lens0 = jnp.full((B,), 128, jnp.int32)
+    toks = jnp.ones((B,), jnp.int32)
+    temps = jnp.zeros((B,), jnp.float32)
+    tks = jnp.zeros((B,), jnp.int32)
+    tps = jnp.ones((B,), jnp.float32)
+
+    fn = jax.jit(lambda p, t, k, v, lens, r: paged_decode_scan(
+        p, t, k, v, tables, lens, r, temps, tps, cfg, horizon=horizon,
+        top_ks=tks, filtered=False))
+
+    print(f"== paged PER-OP decode 7B B={B} bs={BS} MB={MB} "
+          f"horizon={horizon} ==", flush=True)
+    t0 = time.time()
+    out, _ = readout_timed(lambda: fn(params, toks, k_pools, v_pools,
+                                      lens0, jax.random.PRNGKey(2)))
+    print(f"compile+first: {time.time()-t0:.1f}s", flush=True)
+    times = []
+    for _ in range(3):
+        out, dt = readout_timed(lambda: fn(params, toks, k_pools, v_pools,
+                                           lens0, jax.random.PRNGKey(2)))
+        times.append(dt)
+    per = min(times) / horizon
+    wb = sum(t.q.nbytes + t.s.nbytes
+             for t in jax.tree.leaves(
+                 params, is_leaf=lambda x: hasattr(x, "q"))
+             if hasattr(t, "q"))
+    floor = (wb + 2 * B * 160 * flat) / get_tpu_spec().hbm_bandwidth
+    print(f"per-step {per*1e3:.3f} ms  (floor ~{floor*1e3:.3f} ms -> "
+          f"{floor/per*100:.1f}% of SoL, {B/per:.0f} tok/s)", flush=True)
+
+
 if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--only", default="", choices=["", "flash", "paged"])
+    ap.add_argument("--only", default="",
+                    choices=["", "flash", "paged", "perop"])
     a = ap.parse_args()
     if a.only in ("", "flash"):
         flash_sweep()
     if a.only in ("", "paged"):
         paged_probe()
+    if a.only in ("", "perop"):
+        paged_perop_probe()
