@@ -73,6 +73,21 @@ def cmd_serve(args):
     from .serve.http_server import InferenceServer
 
     params, cfg = _load_model(args)
+    mesh = None
+    if args.tp > 1 or args.dp > 1:
+        # sharded serving: a (data, model) mesh over local devices — the
+        # engine Megatron-shards the params and KV pools onto it
+        # (parallel/tp.py) and every decode step executes the psums /
+        # logits all-gather over the mesh
+        from .parallel import make_mesh
+
+        need = args.tp * args.dp
+        have = len(jax.devices())
+        if need > have:
+            raise SystemExit(f"--tp {args.tp} x --dp {args.dp} needs {need} "
+                             f"devices, have {have}")
+        mesh = make_mesh(data=args.dp, model=args.tp)
+        print(f"[cli] mesh data={args.dp} model={args.tp}", file=sys.stderr)
     if args.paged:
         from .serve.paged_engine import PagedEngineConfig, PagedInferenceEngine
 
@@ -81,14 +96,21 @@ def cmd_serve(args):
             max_batch=args.slots,
             num_blocks=args.slots * args.max_seq_len // block_size,
             block_size=block_size,
-            max_blocks_per_request=args.max_seq_len // block_size))
+            max_blocks_per_request=args.max_seq_len // block_size),
+            mesh=mesh)
     else:
         engine = InferenceEngine(params, cfg, EngineConfig(
-            num_slots=args.slots, max_seq_len=args.max_seq_len))
+            num_slots=args.slots, max_seq_len=args.max_seq_len), mesh=mesh)
     server = InferenceServer(engine, host=args.host, port=args.port,
                              model_name=args.config)
     print(f"[cli] serving on http://{args.host}:{server.port}",
           file=sys.stderr)
+    if args.check:
+        # config/mesh/engine validation mode: everything is constructed
+        # (params sharded, server bound) but no request loop starts
+        server.close()
+        print("[cli] check ok", file=sys.stderr)
+        return
     try:
         server.serve_forever()
     except KeyboardInterrupt:
@@ -139,6 +161,14 @@ def main(argv=None):
     s.add_argument("--max-seq-len", type=int, default=1024)
     s.add_argument("--paged", action="store_true",
                    help="paged-KV engine with radix prefix cache")
+    s.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel ways (mesh 'model' axis)")
+    s.add_argument("--dp", type=int, default=1,
+                   help="data-parallel ways (mesh 'data' axis; slots "
+                        "shard across it)")
+    s.add_argument("--check", action="store_true",
+                   help="construct engine+server (incl. mesh sharding), "
+                        "then exit — config validation")
     s.set_defaults(fn=cmd_serve)
 
     g = sub.add_parser("generate", help="one-shot generation")

@@ -73,20 +73,29 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
             xout_ref, ko1_ref, ko2_ref, vo1_ref, vo2_ref,
             x_scr, h_scr, qkv_scr, q_scr, kcur_scr, vcur_scr, attn_scr,
             gu_scr, k8_scr, v8_scr, kscl_scr, vscl_scr, a8_scr, asc_scr,
-            *, cfgk):
+            *kvp_scr, cfgk):
     (L, B, S, D, F, HQ, HKV, HD, QO, TNQ, TNW, TNG, TK, RB, nq, na, nwo,
      ngu, ndn, eps, write_cache, act8, wmajor, silu_spread, kblock,
-     w4) = cfgk
+     w4, kvp) = cfgk
+    if kvp:
+        # deep-lookahead KV prefetch (see _fused_decode_step docstring):
+        # ring buffers + staging windows + DMA semaphore arrays
+        (kqb, vqb, ksb, vsb, kstage, vstage, rsem, wsem) = kvp_scr
 
     def _w(ref):
         """Weight tile → MXU operand. INT4: two arithmetic shifts recover
         the nibbles (low = channels [0, N/2), high = [N/2, N) — the pack
-        order makes the concat come out in natural channel order)."""
+        order makes the concat come out in natural channel order).
+        Shifts run in int32: Mosaic on this stack fails to legalize
+        arith.shli on int8 vectors ("failed to legalize operation
+        'arith.shli'"), and int8→int32 sign-extension is what the
+        arithmetic-shift recovery needs anyway."""
         t = ref[0]
         if not w4:
             return t
-        lo = jnp.right_shift(jnp.left_shift(t, 4), 4)
-        hi = jnp.right_shift(t, 4)
+        t32 = t.astype(jnp.int32)
+        lo = jnp.right_shift(jnp.left_shift(t32, 28), 28)
+        hi = jnp.right_shift(t32, 4)
         return jnp.concatenate([lo, hi], axis=-1).astype(jnp.bfloat16)
     l = pl.program_id(0)
     t = pl.program_id(1)
@@ -99,6 +108,80 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
     @pl.when((l == 0) & (t == 0))
     def _():
         x_scr[:] = x0_ref[...].astype(jnp.float32)
+
+    if kvp:
+        # Manual KV streaming with one-LAYER lookahead. The auto-pipeline
+        # only prefetches one grid step ahead, so the attention phase's KV
+        # DMA (~1 GB/step at 7B B=64 S=256) serializes behind it while the
+        # MXU idles; here layer l+1's blocks are issued during layer l's
+        # DOWN phase — where the MXU (M<=128 rows) is the bottleneck and
+        # the DMA queue has slack — and waited at l+1's attention steps.
+        def kv_read_dmas(lx, i):
+            rows = pl.ds(i * RB, RB)
+            return (
+                pltpu.make_async_copy(kq_ref.at[lx, rows], kqb.at[i],
+                                      rsem.at[i, 0]),
+                pltpu.make_async_copy(ks_ref.at[lx, rows], ksb.at[i],
+                                      rsem.at[i, 1]),
+                pltpu.make_async_copy(vq_ref.at[lx, rows], vqb.at[i],
+                                      rsem.at[i, 2]),
+                pltpu.make_async_copy(vs_ref.at[lx, rows], vsb.at[i],
+                                      rsem.at[i, 3]),
+            )
+
+        def kv_write_dmas(i):
+            rows = pl.ds(i * RB, RB)
+            base = (slot_ref[0] // 8) * 8
+            return (
+                pltpu.make_async_copy(kstage.at[i],
+                                      ko1_ref.at[l, rows, pl.ds(base, 8)],
+                                      wsem.at[i, 0]),
+                pltpu.make_async_copy(vstage.at[i],
+                                      vo1_ref.at[l, rows, pl.ds(base, 8)],
+                                      wsem.at[i, 1]),
+                pltpu.make_async_copy(ksb.at[i], ko2_ref.at[l, rows],
+                                      wsem.at[i, 2]),
+                pltpu.make_async_copy(vsb.at[i], vo2_ref.at[l, rows],
+                                      wsem.at[i, 3]),
+            )
+
+        @pl.when((l == 0) & (t == 0))
+        def _():
+            # layer 0 has no earlier slack window: issue all its blocks now;
+            # they complete during the QKV phase
+            for i in range(na):
+                for d in kv_read_dmas(0, i):
+                    d.start(priority=1)
+
+        @pl.when(t == P_GU)  # kvp implies write_cache (eligibility gate)
+        def _():
+            # all of this layer's cache writes were issued during the
+            # attention phase; drain them before their staging buffers and
+            # scale planes are reused (next layer's prefetch can land in
+            # ksb/vsb starting this same step — this block is emitted
+            # BEFORE the issue blocks below, so in-step order is safe)
+            for i in range(na):
+                for d in kv_write_dmas(i):
+                    d.wait()
+
+        # issue layer l+1's blocks as early as their ring slots are free
+        # (the P_GU drain above): the GU phase, when long enough, gives the
+        # background queue the largest slack window before the deadline.
+        # (Issuing the value rings one phase earlier still, at P_WO —
+        # legal, their last read is the attention step — hung Mosaic's
+        # compiler on this stack; measured 9.40→9.32 ms came from the
+        # P_DN→P_GU move alone.)
+        issue_base = P_GU if ngu >= na else P_DN
+        for i_ in range(na):
+            @pl.when((l < L - 1) & (t == issue_base + i_))
+            def _(i=i_):
+                # background priority: the weight pipeline only has one
+                # grid step of lookahead, so a foreground 4MB KV copy ahead
+                # of the next weight tile stalls the MXU; at priority 1 the
+                # DMA engine services weight fetches first and fills the
+                # matmul phases' DMA slack with KV
+                for d in kv_read_dmas(l + 1, i):
+                    d.start(priority=1)
 
     def _qrow(x_f32, width):
         # dynamic per-row (per-token) activation quantization for the W8A8
@@ -210,17 +293,24 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
             B, HKV * HD).astype(vcur_scr.dtype)
 
     # ---- ATTN: flash over the INT8 cache + current token, RB requests ----
-    @pl.when((t >= P_ATTN) & (t < P_WO))
-    def _():
-        i = t - P_ATTN
+    def _attn_body(i):
         rows = pl.ds(i * RB, RB)
         q = q_scr[rows, :].astype(jnp.float32).reshape(RB, HQ, HD)
         kcur = kcur_scr[rows, :].astype(jnp.float32).reshape(RB, HKV, HD)
         vcur = vcur_scr[rows, :].astype(jnp.float32).reshape(RB, HKV, HD)
-        kq = kq_ref[0]                       # (RB, S, HKV·HD) int8
-        vq = vq_ref[0]
-        ks = ks_ref[0]                       # (RB, HKV, S) f32
-        vs = vs_ref[0]
+        if kvp:
+            # drain the prefetch issued one layer ago, then read the ring
+            for d in kv_read_dmas(l, i):
+                d.wait()
+            kq = kqb[i]                      # (RB, S, HKV·HD) int8
+            vq = vqb[i]
+            ks = ksb[i]                      # (RB, HKV, S) f32
+            vs = vsb[i]
+        else:
+            kq = kq_ref[0]                   # (RB, S, HKV·HD) int8
+            vq = vq_ref[0]
+            ks = ks_ref[0]                   # (RB, HKV, S) f32
+            vs = vs_ref[0]
         qslot = qslot_ref[rows, :]                        # (RB, 1)
         vfrom = vfrom_ref[rows, :]
         kpos = lax.broadcasted_iota(jnp.int32, (RB, 1, S), 2)
@@ -260,7 +350,29 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
         o = jnp.concatenate(o_parts, axis=1) / denom       # (RB, HQ, HD)
         attn_scr[rows, :] = o.reshape(RB, HQ * HD).astype(attn_scr.dtype)
 
-        if write_cache:
+        if write_cache and kvp:
+            # in-place cache write via manual DMA: compose the 8-slot int8
+            # window from the prefetched (pre-update) block + the new token,
+            # update the scale plane's slot lane in the ring, then DMA both
+            # back to the aliased HBM buffers (drained at P_GU)
+            slot = slot_ref[0]
+            base = (slot // 8) * 8
+            win_k = kqb[i, :, pl.ds(base, 8), :]          # (RB, 8, HKV·HD)
+            win_v = vqb[i, :, pl.ds(base, 8), :]
+            sel = (lax.broadcasted_iota(jnp.int32, (RB, 8, 1), 1) + base
+                   == slot)
+            k8 = k8_scr[rows, :][:, None, :]              # (RB, 1, HKV·HD)
+            v8 = v8_scr[rows, :][:, None, :]
+            kstage[i] = jnp.where(sel, k8, win_k)
+            vstage[i] = jnp.where(sel, v8, win_v)
+            lane = lax.broadcasted_iota(jnp.int32, (RB, HKV, S), 2)
+            ksl = kscl_scr[rows, :][:, :, None]           # (RB, HKV, 1)
+            vsl = vscl_scr[rows, :][:, :, None]
+            ksb[i] = jnp.where(lane == slot, ksl, ks)
+            vsb[i] = jnp.where(lane == slot, vsl, vs)
+            for d in kv_write_dmas(i):
+                d.start(priority=1)  # don't jump the weight-tile queue
+        elif write_cache:
             # write the current token into the cache IN PLACE (the cache
             # buffers are aliased input→output): an 8-slot int8 window and
             # the scale lane-plane, composed from the pre-update input block
@@ -279,6 +391,10 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
             vsl = vscl_scr[rows, :][:, :, None]
             ko2_ref[0] = jnp.where(lane == slot, ksl, ks)
             vo2_ref[0] = jnp.where(lane == slot, vsl, vs)
+
+    @pl.when((t >= P_ATTN) & (t < P_WO))
+    def _():
+        _attn_body(t - P_ATTN)
 
     if act8:
         @pl.when(t == P_WO)
@@ -385,29 +501,31 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
 
 def _paged_kernel(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
                   wqkv_ref, sqkv_ref, wo_ref, swo_ref, wgu_ref, sgu_ref,
-                  wdn_ref, sdn_ref, cos_ref, sin_ref, lens_ref, *rest,
+                  wdn_ref, sdn_ref, cos_ref, sin_ref, lens_ref,
+                  kq_any, ks_any, vq_any, vs_any,
+                  xout_ref, ko1_ref, ko2_ref, vo1_ref, vo2_ref,
+                  x_scr, h_scr, qkv_scr, q_scr, kcur_scr, vcur_scr, attn_scr,
+                  gu_scr, k8_scr, v8_scr, kscl_scr, vscl_scr,
+                  kqb, vqb, ksb, vsb, rsem,
                   cfgk):
     """Fused whole-model decode over PAGED KV pools.
 
-    Same phase structure as _kernel; the attention phase reads each
-    request's scattered blocks through a fan of operands — RBP requests ×
-    MB table columns, each a (1, 1, bs, flat) window whose index map does
-    the block-table lookup (the indirection trick of
-    kernels/paged_attention.py, multiplied across the fan). New K/V leave
-    as scatter-mode outputs; the caller lands them in the pools with an
-    in-place XLA scatter (cheap: ~4 MB/step vs the GB-scale weight stream).
+    Same phase structure as _kernel. The attention phase reads each
+    request's scattered blocks via MANUAL block-table DMA with one-layer
+    lookahead: during layer l's DOWN phase the kernel walks the
+    scalar-prefetched block table (SMEM) and issues one HBM→VMEM copy per
+    (request, table column) into per-request-block ring buffers; layer
+    l+1's attention steps wait on them. This replaces the round-2 operand
+    FAN (RBP×MB auto-pipelined windows), which measured 3.8× slower than
+    the slot kernel: 130+ operands fragmented Mosaic's pipelining and dead
+    columns re-fetched resident blocks. Dead columns are still clamped to
+    the request's last live block, but a redundant copy of one 128 KB block
+    is noise, not a schedule stall. New K/V leave as scatter-mode outputs;
+    the caller lands them in the pools with an in-place XLA scatter
+    (cheap: ~4 MB/step vs the GB-scale weight stream).
     """
     (L, B, S, D, F, HQ, HKV, HD, QO, TNQ, TNW, TNG, TK, RBP, MB, BS, nq,
      na, nwo, ngu, ndn, eps, wmajor, silu_spread) = cfgk
-    # rest = 4·RBP·MB kv refs, 5 outputs, then scratches
-    nf = RBP * MB
-    kq_f = rest[0:nf]
-    ks_f = rest[nf:2 * nf]
-    vq_f = rest[2 * nf:3 * nf]
-    vs_f = rest[3 * nf:4 * nf]
-    (xout_ref, ko1_ref, ko2_ref, vo1_ref, vo2_ref,
-     x_scr, h_scr, qkv_scr, q_scr, kcur_scr, vcur_scr, attn_scr,
-     gu_scr, k8_scr, v8_scr, kscl_scr, vscl_scr) = rest[4 * nf:]
 
     l = pl.program_id(0)
     t = pl.program_id(1)
@@ -416,11 +534,47 @@ def _paged_kernel(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
     group = HQ // HKV
     hd2 = HD // 2
     sm_scale = 1.0 / math.sqrt(HD)
-    SC = MB * BS  # per-request KV capacity covered by the fan
+    SC = MB * BS  # per-request KV capacity covered by the ring
+
+    def kv_block_dmas(lx, i):
+        """All copies for request block i of layer lx: 4 streams ×
+        RBP requests × MB table columns, each a single pool block."""
+        dmas = []
+        for rr in range(RBP):
+            r = i * RBP + rr
+            last = jnp.maximum((lens_sp_ref[r] - 1) // BS, 0)
+            for c in range(MB):
+                idx = tables_ref[r, jnp.minimum(c, last)]
+                cols = pl.ds(c * BS, BS)
+                dmas.extend([
+                    pltpu.make_async_copy(kq_any.at[lx, idx],
+                                          kqb.at[i, rr, cols],
+                                          rsem.at[i, 0]),
+                    pltpu.make_async_copy(ks_any.at[lx, idx],
+                                          ksb.at[i, rr, :, cols],
+                                          rsem.at[i, 1]),
+                    pltpu.make_async_copy(vq_any.at[lx, idx],
+                                          vqb.at[i, rr, cols],
+                                          rsem.at[i, 2]),
+                    pltpu.make_async_copy(vs_any.at[lx, idx],
+                                          vsb.at[i, rr, :, cols],
+                                          rsem.at[i, 3]),
+                ])
+        return dmas
 
     @pl.when((l == 0) & (t == 0))
     def _():
         x_scr[:] = x0_ref[...].astype(jnp.float32)
+        # layer 0 has no earlier slack window: issue its blocks now
+        for i in range(na):
+            for d in kv_block_dmas(0, i):
+                d.start()
+
+    for i_ in range(na):
+        @pl.when((l < L - 1) & (t == P_DN + i_))
+        def _(i=i_):
+            for d in kv_block_dmas(l + 1, i):
+                d.start()
 
     def _mm(a, w_tile):
         wdims = ((1,), (1,)) if wmajor else ((1,), (0,))
@@ -473,7 +627,7 @@ def _paged_kernel(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
         vcur_scr[:] = (vq8.astype(jnp.float32) * vsc).reshape(
             B, HKV * HD).astype(vcur_scr.dtype)
 
-    # ---- ATTN: RBP requests per step, each over its MB gathered blocks
+    # ---- ATTN: RBP requests per step, each over its ring-gathered blocks
     @pl.when((t >= P_ATTN) & (t < P_WO))
     def _():
         i = t - P_ATTN
@@ -481,23 +635,17 @@ def _paged_kernel(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
         q = q_scr[rows, :].astype(jnp.float32).reshape(RBP, HQ, HD)
         kcur = kcur_scr[rows, :].astype(jnp.float32).reshape(RBP, HKV, HD)
         vcur = vcur_scr[rows, :].astype(jnp.float32).reshape(RBP, HKV, HD)
-        # assemble the fan: (RBP, SC, flat) int8 and (RBP, HKV, SC) scales
-        kq = jnp.stack([jnp.concatenate(
-            [kq_f[r * MB + c][0, 0] for c in range(MB)], axis=0)
-            for r in range(RBP)])
-        vq = jnp.stack([jnp.concatenate(
-            [vq_f[r * MB + c][0, 0] for c in range(MB)], axis=0)
-            for r in range(RBP)])
-        ks = jnp.stack([jnp.concatenate(
-            [ks_f[r * MB + c][0, 0] for c in range(MB)], axis=1)
-            for r in range(RBP)])
-        vs = jnp.stack([jnp.concatenate(
-            [vs_f[r * MB + c][0, 0] for c in range(MB)], axis=1)
-            for r in range(RBP)])
+        # drain the block-table prefetch issued one layer ago
+        for d in kv_block_dmas(l, i):
+            d.wait()
+        kq = kqb[i]                                       # (RBP, SC, flat)
+        vq = vqb[i]
+        ks = ksb[i]                                       # (RBP, HKV, SC)
+        vs = vsb[i]
         lens = lens_ref[rows, :]                          # (RBP, 1)
         kpos = lax.broadcasted_iota(jnp.int32, (RBP, 1, SC), 2)
-        # dead columns were clamped to a live block by the index map —
-        # their duplicate content is masked off here
+        # dead columns were clamped to a live block at issue time — their
+        # duplicate content is masked off here
         mask = kpos < lens[:, :, None]
 
         s_parts, cur_parts = [], []
@@ -574,26 +722,41 @@ def _paged_kernel(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
         xout_ref[...] = x_scr[...].astype(xout_ref.dtype)
 
 
-def fused_paged_decode_ok(cfg, B: int, MB: int, BS: int) -> bool:
+def fused_paged_decode_ok(cfg, B: int, MB: int, BS: int,
+                          num_layers: int | None = None) -> bool:
     """Static eligibility of the fused paged path (mirrors the dense
-    _fused_decode_ok gates): INT8 pools with TPU-tileable shapes, a fan
-    small enough for Mosaic, and phase dims the tiler can window."""
+    _fused_decode_ok gates): INT8 pools with TPU-tileable shapes, ring
+    buffers that fit VMEM, and enough DOWN-phase steps to issue the
+    next layer's block-table prefetch."""
     if getattr(cfg, "num_experts", 0) > 0 or cfg.act_quant != "none":
         return False
     if cfg.head_dim % 128 != 0 or cfg.hidden_dim % 128 != 0:
         return False
-    if BS % 8 != 0 or BS * MB > 2048 or MB > 4:
+    # scale rings are (.., HKV, MB·BS) sliced per BS column — manual DMA
+    # slices must be lane-aligned (128)
+    if BS % 128 != 0:
         return False
-    return _paged_rbp(B, MB) is not None
+    RBP = _paged_rbp(B, MB)
+    if RBP is None:
+        return False
+    na = B // RBP
+    TK = _pick_tile(cfg.intermediate_dim, 512)
+    ndn = cfg.intermediate_dim // TK
+    if ndn < na:
+        return False
+    flat = cfg.num_kv_heads * cfg.head_dim
+    ring = (2 * na * RBP * MB * BS * flat
+            + 2 * na * RBP * cfg.num_kv_heads * MB * BS * 4)
+    return ring <= (68 << 20)
 
 
 def _paged_rbp(B: int, MB: int) -> int | None:
     """Requests per attention grid step. 8 exactly: scratch row slices
     (q/attn at rows [i·RBP, (i+1)·RBP)) must start on a sublane multiple
-    of 8 for Mosaic's vector loads, and the operand fan (4·RBP·MB refs)
-    must stay bounded — hence RBP=8, MB<=4 (per-request KV capacity
-    MB·block_size; use block_size>=128 for long contexts)."""
-    return 8 if (B % 8 == 0 and 8 * MB <= 32) else None
+    of 8 for Mosaic's vector loads. MB is no longer bounded — KV blocks
+    arrive via manual block-table DMA into ring buffers, not an operand
+    fan, so capacity is limited only by ring VMEM (fused_paged_decode_ok)."""
+    return 8 if B % 8 == 0 else None
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "tn_target",
@@ -646,17 +809,6 @@ def fused_paged_decode_step(params, x, kq_pool, ks_pool, vq_pool, vs_pool,
     def win(lo, hi, maker):
         return lambda l, t, tb, ln: maker(l, jnp.clip(t - lo, 0, hi - lo - 1))
 
-    def kv_map(row, col, scale):
-        def m(l, t, tb, ln):
-            i = jnp.clip(t - P_ATTN, 0, na - 1)
-            r = i * RBP + row
-            # clamp dead columns to the request's last live block so their
-            # DMA re-reads a resident block (elided) instead of garbage
-            last = jnp.maximum((ln[r] - 1) // BS, 0)
-            jj = jnp.minimum(col, last)
-            return (l, tb[r, jj], 0, 0)
-        return m
-
     w_spec = lambda K, TN, lo, hi: (
         pl.BlockSpec((1, TN, K), win(lo, hi, lambda l, j: (l, j, 0)))
         if wmajor else
@@ -677,20 +829,12 @@ def fused_paged_decode_step(params, x, kq_pool, ks_pool, vq_pool, vs_pool,
         pl.BlockSpec((B, HD // 2), lambda l, t, tb, ln: (0, 0)),      # cos
         pl.BlockSpec((B, HD // 2), lambda l, t, tb, ln: (0, 0)),      # sin
         pl.BlockSpec((B, 1), lambda l, t, tb, ln: (0, 0)),            # lens
+        # KV pools: raw HBM refs read by the kernel's block-table DMA
+        pl.BlockSpec(memory_space=pl.ANY),                            # kq
+        pl.BlockSpec(memory_space=pl.ANY),                            # ks
+        pl.BlockSpec(memory_space=pl.ANY),                            # vq
+        pl.BlockSpec(memory_space=pl.ANY),                            # vs
     ]
-    # the KV fan: values then scales, kq → ks → vq → vs, row-major
-    fan_args = []
-    for pool, scale in ((kq_pool, False), (ks_pool, True),
-                        (vq_pool, False), (vs_pool, True)):
-        for row in range(RBP):
-            for col in range(MB):
-                if scale:
-                    in_specs.append(pl.BlockSpec(
-                        (1, 1, HKV, BS), kv_map(row, col, True)))
-                else:
-                    in_specs.append(pl.BlockSpec(
-                        (1, 1, BS, flat_hd), kv_map(row, col, False)))
-                fan_args.append(pool)
 
     out_specs = [
         pl.BlockSpec((B, D), lambda l, t, tb, ln: (0, 0)),
@@ -729,6 +873,11 @@ def fused_paged_decode_step(params, x, kq_pool, ks_pool, vq_pool, vs_pool,
                 pltpu.VMEM((B, HKV * HD), jnp.int8),    # v current int8
                 pltpu.VMEM((B, HKV), jnp.float32),      # k scale
                 pltpu.VMEM((B, HKV), jnp.float32),      # v scale
+                pltpu.VMEM((na, RBP, MB * BS, flat_hd), jnp.int8),  # kq ring
+                pltpu.VMEM((na, RBP, MB * BS, flat_hd), jnp.int8),  # vq ring
+                pltpu.VMEM((na, RBP, HKV, MB * BS), jnp.float32),   # ks ring
+                pltpu.VMEM((na, RBP, HKV, MB * BS), jnp.float32),   # vs ring
+                pltpu.SemaphoreType.DMA((na, 4)),       # block-read sems
             ],
         ),
         out_shape=out_shape,
@@ -747,7 +896,7 @@ def fused_paged_decode_step(params, x, kq_pool, ks_pool, vq_pool, vs_pool,
     )(tables.astype(jnp.int32), jnp.asarray(lengths, jnp.int32),
       x, params["ln1"][:, None], params["ln2"][:, None],
       wqkv.q, wqkv.s, wo.q, wo.s, wgu.q, wgu.s, wdn.q, wdn.s,
-      rope_cos_g, rope_sin_g, lens2, *fan_args)
+      rope_cos_g, rope_sin_g, lens2, kq_pool, ks_pool, vq_pool, vs_pool)
     return tuple(out)
 
 
@@ -790,6 +939,7 @@ def fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
     rb_bytes = int(os.environ.get("FUSED_RB_BYTES", str(1 << 20)))
     silu_spread = os.environ.get("FUSED_SILU", "spread") == "spread"
     kblock = os.environ.get("FUSED_WL", "kblock") == "kblock"
+    kv_prefetch = os.environ.get("FUSED_KVP", "1") != "0"
     w4 = isinstance(params["wqkv"], QuantizedTensor4)
     # N-major weights: auto-detected from the wqkv orientation (see
     # to_nmajor) so callers holding either layout hit the right kernel
@@ -802,7 +952,8 @@ def fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
                               interpret=interpret, tn_target=tn_target,
                               rb_bytes=rb_bytes, wmajor=wmajor,
                               silu_spread=silu_spread,
-                              kblock=(kblock and not wmajor) or w4, w4=w4)
+                              kblock=(kblock and not wmajor) or w4, w4=w4,
+                              kv_prefetch=kv_prefetch)
 
 
 def to_nmajor(blocks: dict) -> dict:
@@ -826,14 +977,16 @@ def to_nmajor(blocks: dict) -> dict:
 @functools.partial(jax.jit, static_argnames=("cfg", "write_cache",
                                              "interpret", "tn_target",
                                              "rb_bytes", "wmajor",
-                                             "silu_spread", "kblock", "w4"))
+                                             "silu_spread", "kblock", "w4",
+                                             "kv_prefetch"))
 def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
                        rope_cos_g, rope_sin_g, cfg, slot=None,
                        write_cache: bool = False,
                        interpret: bool | None = None,
                        tn_target: int = 512, rb_bytes: int = 1 << 20,
                        wmajor: bool = False, silu_spread: bool = True,
-                       kblock: bool = False, w4: bool = False):
+                       kblock: bool = False, w4: bool = False,
+                       kv_prefetch: bool = False):
     """One full decode step over all layers.
 
     params: the model's quantized "blocks" dict (stacked QuantizedTensors:
@@ -911,12 +1064,25 @@ def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
     na, ndn = B // RB, F // TK
     T = nq + na + nwo + ngu + ndn
 
+    # kvp: manual KV streaming with one-layer lookahead (see _kernel).
+    # Requires the uniform-slot in-place write path, issue slots in the
+    # DOWN phase (ndn >= na), and ring+staging VMEM that fits alongside
+    # the weight double-buffers and activation scratch.
+    kvp_vmem = (2 * na * RB * S * flat_hd        # int8 value rings
+                + 2 * na * RB * HKV * S * 4      # f32 scale rings
+                + 2 * na * RB * 8 * flat_hd)     # int8 staging windows
+    # S % 128: the scale rings' LAST dim is S — manual DMA slices must be
+    # lane-aligned (Mosaic: "Slice shape along dimension 3 must be aligned
+    # to tiling (128)" at S=48)
+    kvp = (kv_prefetch and write_cache and not act8
+           and ndn >= na and S % 128 == 0 and kvp_vmem <= (68 << 20))
+
     wqkv, wo = params["wqkv"], params["wo"]
     wgu, wdn = params["w_gate_up"], params["w_down"]
 
     cfgk = (L, B, S, D, F, HQ, HKV, HD, QO, TNQ, TNW, TNG, TK, RB, nq, na,
             nwo, ngu, ndn, cfg.norm_eps, write_cache, act8, wmajor,
-            silu_spread, kblock, w4)
+            silu_spread, kblock, w4, kvp)
     kernel = functools.partial(_kernel, cfgk=cfgk)
 
     P_ATTN, P_WO = nq, nq + na
@@ -936,7 +1102,25 @@ def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
     def attn_win(maker):
         return win(P_ATTN, P_WO, maker)
 
-    if write_cache:
+    if write_cache and kvp:
+        # cache outputs are written by the kernel's manual DMA (aliased
+        # in-place HBM buffers) — no pipelined blocks
+        out_specs = [
+            pl.BlockSpec((B, D), lambda l, t, sr: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((B, D), x.dtype),
+            jax.ShapeDtypeStruct(k_q.shape, jnp.int8),
+            jax.ShapeDtypeStruct(k_s.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v_q.shape, jnp.int8),
+            jax.ShapeDtypeStruct(v_s.shape, jnp.float32),
+        ]
+        aliases = {12: 1, 13: 2, 14: 3, 15: 4}
+    elif write_cache:
         out_specs = [
             pl.BlockSpec((B, D), lambda l, t, sr: (0, 0)),
             pl.BlockSpec((1, RB, 8, flat_hd),
@@ -982,6 +1166,17 @@ def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
         aliases = {}
 
     bf = jnp.bfloat16
+    if w4:
+        # group-wise scales (L, K//G, N) flattened to (L·(K//G), 1, N):
+        # the per-tile scale row rides the untiled leading dim (Mosaic
+        # rejects a (1,1,N) block over a second-minor dim not % 8)
+        def _s3(t):
+            l_, g_, n_ = t.s.shape
+            return t.s.reshape(l_ * g_, 1, n_)
+
+        sqkv_a, swo_a, sgu_a, sdn_a = map(_s3, (wqkv, wo, wgu, wdn))
+    else:
+        sqkv_a, swo_a, sgu_a, sdn_a = wqkv.s, wo.s, wgu.s, wdn.s
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1011,7 +1206,8 @@ def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
                  pl.BlockSpec((1, D, TNQ), win(0, nq,
                                                lambda l, j: (l, 0, j)))),
                 (pl.BlockSpec((1, 1, QO), win(0, nq,
-                                              lambda l, j: (l, j, 0)))
+                                              lambda l, j: (l * nq + j,
+                                                            0, 0)))
                  if w4 else
                  pl.BlockSpec((1, 1, QO), lambda l, t, sr: (l, 0, 0))
                  if kblock else
@@ -1029,7 +1225,8 @@ def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
                  pl.BlockSpec((1, HQ * HD, TNW), win(P_WO, P_GU,
                                                      lambda l, j: (l, 0, j)))),
                 (pl.BlockSpec((1, 1, D), win(P_WO, P_GU,
-                                             lambda l, j: (l, j, 0)))
+                                             lambda l, j: (l * nwo + j,
+                                                           0, 0)))
                  if w4 else
                  pl.BlockSpec((1, 1, D), lambda l, t, sr: (l, 0, 0))
                  if kblock else
@@ -1047,7 +1244,8 @@ def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
                  pl.BlockSpec((1, D, TNG), win(P_GU, P_DN,
                                                lambda l, j: (l, 0, j)))),
                 (pl.BlockSpec((1, 1, 2 * F), win(P_GU, P_DN,
-                                                 lambda l, j: (l, j, 0)))
+                                                 lambda l, j: (l * ngu + j,
+                                                               0, 0)))
                  if w4 else
                  pl.BlockSpec((1, 1, 2 * F), lambda l, t, sr: (l, 0, 0))
                  if kblock else
@@ -1059,17 +1257,22 @@ def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
                  pl.BlockSpec((1, TK, D), win(P_DN, P_DN + ndn,
                                               lambda l, j: (l, j, 0)))),
                 (pl.BlockSpec((1, 1, D), win(P_DN, P_DN + ndn,
-                                             lambda l, j: (l, j, 0)))
+                                             lambda l, j: (l * ndn + j,
+                                                           0, 0)))
                  if w4 else
                  pl.BlockSpec((1, 1, D), lambda l, t, sr: (l, 0, 0))),  # sdn
-                pl.BlockSpec((1, RB, S, flat_hd),                       # kq
-                             attn_win(lambda l, i: (l, i, 0, 0))),
-                pl.BlockSpec((1, RB, HKV, S),
-                             attn_win(lambda l, i: (l, i, 0, 0))),
-                pl.BlockSpec((1, RB, S, flat_hd),                       # vq
-                             attn_win(lambda l, i: (l, i, 0, 0))),
-                pl.BlockSpec((1, RB, HKV, S),
-                             attn_win(lambda l, i: (l, i, 0, 0))),
+                # KV streams: auto-pipelined blocks, or raw HBM refs read
+                # by the kernel's own deep-lookahead DMA when kvp
+                *([pl.BlockSpec(memory_space=pl.ANY)] * 4 if kvp else [
+                    pl.BlockSpec((1, RB, S, flat_hd),                   # kq
+                                 attn_win(lambda l, i: (l, i, 0, 0))),
+                    pl.BlockSpec((1, RB, HKV, S),
+                                 attn_win(lambda l, i: (l, i, 0, 0))),
+                    pl.BlockSpec((1, RB, S, flat_hd),                   # vq
+                                 attn_win(lambda l, i: (l, i, 0, 0))),
+                    pl.BlockSpec((1, RB, HKV, S),
+                                 attn_win(lambda l, i: (l, i, 0, 0))),
+                ]),
                 pl.BlockSpec((B, HD // 2), lambda l, t, sr: (0, 0)),    # cos
                 pl.BlockSpec((B, HD // 2), lambda l, t, sr: (0, 0)),    # sin
                 pl.BlockSpec((B, 1), lambda l, t, sr: (0, 0)),          # qslot
@@ -1093,6 +1296,16 @@ def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
                 pltpu.VMEM((B, HKV), jnp.float32),      # v scale
                 pltpu.VMEM((B, max(D, HQ * HD, F)), jnp.int8),  # act int8
                 pltpu.VMEM((B, 1), jnp.float32),        # act row scale
+                *([
+                    pltpu.VMEM((na, RB, S, flat_hd), jnp.int8),   # kq ring
+                    pltpu.VMEM((na, RB, S, flat_hd), jnp.int8),   # vq ring
+                    pltpu.VMEM((na, RB, HKV, S), jnp.float32),    # ks ring
+                    pltpu.VMEM((na, RB, HKV, S), jnp.float32),    # vs ring
+                    pltpu.VMEM((na, RB, 8, flat_hd), jnp.int8),   # k stage
+                    pltpu.VMEM((na, RB, 8, flat_hd), jnp.int8),   # v stage
+                    pltpu.SemaphoreType.DMA((na, 4)),             # read sems
+                    pltpu.SemaphoreType.DMA((na, 4)),             # write sems
+                ] if kvp else []),
             ],
         ),
         out_shape=out_shape,
@@ -1110,6 +1323,6 @@ def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
             transcendentals=B * HQ * S * L),
         interpret=interpret,
     )(slot_arr, x, params["ln1"][:, None], params["ln2"][:, None],
-      wqkv.q, wqkv.s, wo.q, wo.s, wgu.q, wgu.s, wdn.q, wdn.s,
+      wqkv.q, sqkv_a, wo.q, swo_a, wgu.q, sgu_a, wdn.q, sdn_a,
       k_q, k_s, v_q, v_s, rope_cos_g, rope_sin_g, qslot2, vfrom2)
     return tuple(out)

@@ -125,8 +125,14 @@ def moe_layer(x: jnp.ndarray, params: dict, moe: MoEConfig,
     expert_out = jnp.einsum("ecf,efd->ecd", hidden, dq(params["w2"]))
     out = jnp.einsum("tec,ecd->td", combine, expert_out.astype(jnp.float32))
     out = out.astype(x.dtype).reshape(orig_shape)
+    # routed-drop observability: (token, choice) pairs that overflowed their
+    # expert's capacity (production MoE serving behavior under pressure —
+    # ref ch09/moe_inference.py routing stats)
+    routed = dispatch.sum()
+    total = (jnp.sum(valid.astype(jnp.float32)) * k if valid is not None
+             else jnp.float32(t * k))
     aux = {"probs": probs, "indices": indices, "weights": weights,
-           "capacity": capacity}
+           "capacity": capacity, "dropped": total - routed}
     return out, aux
 
 

@@ -190,6 +190,11 @@ def quantize_params_int4(params: dict) -> dict:
         if name in _QUANT_LEAVES:
             if isinstance(w, QuantizedTensor):
                 w = w.dequantize(jnp.float32)
+            if w.ndim != 3:
+                # MoE expert stacks are (L, E, K, N) — the int4 kernel path
+                # is dense-only; keep such leaves int8
+                out["blocks"][name] = _quantize_stacked(w)
+                continue
             _, k, n = w.shape
             out["blocks"][name] = _quantize_stacked_int4(
                 w, int4_group_size(k, n))

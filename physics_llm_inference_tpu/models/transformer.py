@@ -534,6 +534,11 @@ def _fused_decode_ok(params: dict, cfg: ModelConfig, b: int,
              for name in ("wqkv", "wo", "w_gate_up", "w_down")}
     # all-int8 or all-int4 stacks (the kernel compiles one weight format)
     if kinds == {QuantizedTensor4}:
+        # W4A8 is unsupported in the kernel (act8 forces N-phase tiles while
+        # int4 requires K-blocked ones) — route to the per-op path instead of
+        # hitting the kernel's trace-time assert
+        if getattr(cfg, "act_quant", "none") != "none":
+            return False
         if any(blocks[n].q.ndim != 3
                for n in ("wqkv", "wo", "w_gate_up", "w_down")):
             return False
@@ -582,6 +587,7 @@ def forward(
     slots: jnp.ndarray | None = None,
     valid_from: jnp.ndarray | None = None,
     last_only: bool = False,
+    greedy_head: bool = False,
 ):
     """Model forward: embed → scan blocks → norm → lm_head
     (ref ch01/transformer.py:80-87; cached: ch02/cached_generation.py:174-187).
@@ -594,6 +600,11 @@ def forward(
     (left-pad garbage). `last_only` computes logits for the final position
     only (decode hot path — skips the (S,V) lm_head matmul during
     prefill-and-sample). Returns (logits, new_kv).
+
+    `greedy_head` (static): return greedy next-token ids (B,) int32 for the
+    last position instead of logits — the INT8 head runs as one fused
+    norm+matmul+argmax kernel (kernels/lmhead.py) and the (B, V) logits
+    never leave VMEM. Bit-identical to argmax over the logits path.
     """
     b, s = input_ids.shape
     x = embed_lookup(params, input_ids, cfg)
@@ -674,6 +685,20 @@ def forward(
 
     if last_only:
         x = x[:, -1:, :]
+    if greedy_head:
+        from .quant import QuantizedTensor
+
+        lm = params["lm_head"]
+        if (isinstance(lm, QuantizedTensor) and lm.q.ndim == 2
+                and cfg.tp_axis is None and lm.q.shape[1] % 128 == 0):
+            from ..kernels.lmhead import lmhead_greedy
+
+            tok = lmhead_greedy(x[:, -1, :], params["norm"], lm.q, lm.s,
+                                eps=cfg.norm_eps)
+            return tok, new_kv
+        logits = lm_logits(x, params, cfg)
+        return jnp.argmax(logits[:, -1].astype(jnp.float32), -1).astype(
+            jnp.int32), new_kv
     logits = lm_logits(x, params, cfg)
     return logits, new_kv
 

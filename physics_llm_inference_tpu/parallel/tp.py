@@ -113,10 +113,15 @@ def _permute_cols(w, idx):
 def tp_prepare_params(params, cfg, mesh: Mesh, axis: str = "model"):
     """Permute fused projections for shard locality, then shard onto the
     mesh. The one-stop param prep for a TP serving engine."""
+    from ..models.quant import QuantizedTensor4
+
     tp = mesh.shape[axis]
     hd = cfg.head_dim
     out = dict(params)
     blocks = dict(params["blocks"])
+    assert not any(isinstance(w, QuantizedTensor4) for w in blocks.values()), \
+        ("INT4 (nibble-packed) weights are not TP-shardable: splitting the "
+         "packed last dim interleaves lo/hi channel pairs. Use INT8 for TP.")
     if tp > 1:
         if "wqkv" in blocks:
             qkv_idx = _fused_column_perm(

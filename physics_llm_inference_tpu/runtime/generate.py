@@ -88,7 +88,7 @@ def _prefill(params, cfg: ModelConfig, ids, lens, kv: KVSlice):
 
 def _decode_scan(params, cfg: ModelConfig, kv: KVSlice, first_token, lens,
                  valid_from, rng, num_steps: int, temperature, top_k: int,
-                 top_p, stop_array, pad_id: int):
+                 top_p, stop_array, pad_id: int, greedy: bool = False):
     """lax.scan over decode steps; emits (B, num_steps) tokens incl. the first."""
     b = first_token.shape[0]
     k_arr = kv.k.q if hasattr(kv.k, "q") else kv.k
@@ -105,12 +105,22 @@ def _decode_scan(params, cfg: ModelConfig, kv: KVSlice, first_token, lens,
         slot = p + i
         slots = jnp.broadcast_to(slot[None, None], (b, 1))
         positions = (lens + i)[:, None]
-        logits, kv = forward(params, tok[:, None], cfg, kv=kv._replace(start=slot),
-                             positions=positions, slots=slots,
-                             valid_from=valid_from, last_only=True)
-        rng, sub = jax.random.split(rng)
-        nxt = sample_token(logits[:, 0], sub, temperature=temperature,
-                           top_k=top_k, top_p=top_p)  # top_p None → no sort
+        if greedy:
+            # greedy fast path: fused norm+lm_head+argmax kernel; (B, V)
+            # logits never leave VMEM (kernels/lmhead.py)
+            nxt, kv = forward(params, tok[:, None], cfg,
+                              kv=kv._replace(start=slot),
+                              positions=positions, slots=slots,
+                              valid_from=valid_from, last_only=True,
+                              greedy_head=True)
+        else:
+            logits, kv = forward(params, tok[:, None], cfg,
+                                 kv=kv._replace(start=slot),
+                                 positions=positions, slots=slots,
+                                 valid_from=valid_from, last_only=True)
+            rng, sub = jax.random.split(rng)
+            nxt = sample_token(logits[:, 0], sub, temperature=temperature,
+                               top_k=top_k, top_p=top_p)  # top_p None → no sort
         done = done | is_stop(tok)
         return (kv, nxt.astype(jnp.int32), rng, done), emitted
 
@@ -122,14 +132,15 @@ def _decode_scan(params, cfg: ModelConfig, kv: KVSlice, first_token, lens,
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_steps", "top_k", "pad_id",
-                                   "has_stops", "has_top_p"))
+                                   "has_stops", "has_top_p", "greedy"))
 def _decode_jit(params, cfg, kv, first_token, lens, valid_from, rng,
                 num_steps, temperature, top_k, top_p, stop_array, pad_id,
-                has_stops, has_top_p):
+                has_stops, has_top_p, greedy=False):
     return _decode_scan(params, cfg, kv, first_token, lens, valid_from, rng,
                         num_steps, temperature, top_k,
                         top_p if has_top_p else None,
-                        stop_array if has_stops else None, pad_id)
+                        stop_array if has_stops else None, pad_id,
+                        greedy=greedy)
 
 
 _prefill_jit = jax.jit(_prefill, static_argnames=("cfg",))
@@ -176,11 +187,14 @@ def cached_generate(
 
     stop_array = jnp.asarray(stop_tokens, dtype=jnp.int32) if stop_tokens \
         else jnp.zeros((1,), jnp.int32)
+    # temperature/top_k/top_p are Python values here: T=0 without filters is
+    # a STATIC greedy property → the fused argmax head (no rng, no logits)
+    greedy = (float(temperature) == 0.0 and top_k == 0 and not has_top_p)
     (tokens, _), decode_s = readout_timed(lambda: _decode_jit(
         params, cfg, kv, first, lens, valid_from, rng,
         max_new_tokens, jnp.float32(temperature), top_k,
         jnp.float32(top_p), stop_array, pad_id, bool(stop_tokens),
-        has_top_p))
+        has_top_p, greedy=greedy))
 
     tokens = np.array(tokens)  # writable copy (np.asarray views jax buffers read-only)
     gen_lens = np.full((b,), tokens.shape[1], dtype=np.int32)

@@ -329,15 +329,18 @@ class InferenceEngine:
             hh *= 2
             horizons.add(hh)
         for h in sorted(horizons):
-            # the no-filter variant is the serving fast path; the filtered
-            # one compiles on first filtered request
-            jax.block_until_ready(self._decode_for(h, filtered=False)(
-                self.params, self._k, self._v,
-                jnp.zeros(c.num_slots, jnp.int32),
-                jnp.zeros(c.num_slots, jnp.int32), self._split_rng(),
-                jnp.ones(c.num_slots, jnp.float32),
-                jnp.zeros(c.num_slots, jnp.int32),
-                jnp.ones(c.num_slots, jnp.float32))[0])
+            # the no-filter variant is the serving fast path; warm the
+            # filtered (top-k/top-p) variant at horizon 1 too, so the first
+            # sampled request doesn't pay a full XLA compile mid-serving
+            variants = [False] if h > 1 else [False, True]
+            for filtered in variants:
+                jax.block_until_ready(self._decode_for(h, filtered=filtered)(
+                    self.params, self._k, self._v,
+                    jnp.zeros(c.num_slots, jnp.int32),
+                    jnp.zeros(c.num_slots, jnp.int32), self._split_rng(),
+                    jnp.ones(c.num_slots, jnp.float32),
+                    jnp.zeros(c.num_slots, jnp.int32),
+                    jnp.ones(c.num_slots, jnp.float32))[0])
         for pb in (buckets or c.prompt_buckets):
             if pb > c.max_seq_len:
                 continue

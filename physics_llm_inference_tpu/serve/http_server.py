@@ -210,3 +210,10 @@ class InferenceServer:
     def shutdown(self):
         self.httpd.shutdown()
         self.loop.shutdown()
+
+    def close(self):
+        """Tear down WITHOUT a running serve_forever loop: socketserver's
+        shutdown() blocks on an event only serve_forever sets, so a server
+        that was constructed but never served must close this way."""
+        self.httpd.server_close()
+        self.loop.shutdown()

@@ -1,0 +1,103 @@
+"""MoE decode throughput on real TPU (BASELINE config 5).
+
+Serves an INT8 MoE config through the integrated generation path
+(cached_generate → per-op decode: the fused megakernel is dense-only, so
+this measures the routed-FFN per-op cost) and reports tok/s + TTFT against
+two floors:
+
+- all-expert floor: every expert's weights stream per step (what GShard
+  dense-dispatch einsums actually do — the (E,C,D)x(E,D,F) batched matmul
+  reads all E experts regardless of routing);
+- active-expert floor: only routed experts' weights stream (what a
+  gather-style implementation could approach at small batch).
+
+Usage:  python scripts/bench_moe.py [--batch 32] [--layers 16]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--layers", type=int, default=16)
+    ap.add_argument("--hidden", type=int, default=2048)
+    ap.add_argument("--experts", type=int, default=8)
+    ap.add_argument("--topk", type=int, default=2)
+    ap.add_argument("--expert-ff", type=int, default=2816)
+    ap.add_argument("--prompt", type=int, default=128)
+    ap.add_argument("--decode", type=int, default=64)
+    args = ap.parse_args()
+
+    from physics_llm_inference_tpu.models import ModelConfig
+    from physics_llm_inference_tpu.models.quant import init_params_int8
+    from physics_llm_inference_tpu.runtime import cached_generate
+    from physics_llm_inference_tpu.specs import get_tpu_spec
+
+    cfg = ModelConfig(vocab_size=32000, max_seq_len=1024, dtype="bfloat16",
+                      hidden_dim=args.hidden, num_layers=args.layers,
+                      num_heads=args.hidden // 128, num_kv_heads=4,
+                      intermediate_dim=args.expert_ff,
+                      num_experts=args.experts,
+                      num_experts_per_tok=args.topk,
+                      expert_capacity_factor=1.25)
+    params = init_params_int8(jax.random.PRNGKey(0), cfg)
+    total = cfg.param_count()
+    expert_w = (cfg.num_layers * cfg.num_experts * 3 * cfg.hidden_dim
+                * cfg.intermediate_dim)
+    active = total - expert_w + expert_w * args.topk // args.experts
+    print(f"MoE: {total/1e9:.2f}B total / {active/1e9:.2f}B active params "
+          f"({args.experts} experts top-{args.topk}), INT8 W+KV, "
+          f"batch {args.batch}", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    prompts = [list(rng.integers(1, cfg.vocab_size, args.prompt))
+               for _ in range(args.batch)]
+
+    t0 = time.time()
+    out = cached_generate(params, cfg, prompts, args.decode,
+                          temperature=0.0, kv_dtype=jnp.int8)
+    print(f"compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
+    runs = []
+    for _ in range(3):
+        out = cached_generate(params, cfg, prompts, args.decode,
+                              temperature=0.0, kv_dtype=jnp.int8)
+        runs.append(out)
+        print(f"steady: prefill {out.prefill_s*1e3:.1f} ms, "
+              f"{out.decode_tokens_per_s:.1f} tok/s", file=sys.stderr)
+    runs.sort(key=lambda o: o.decode_tokens_per_s)
+    out = runs[len(runs) // 2]
+
+    spec = get_tpu_spec()
+    kv_bytes = (2 * cfg.num_layers * args.batch
+                * (args.prompt + args.decode) * cfg.num_kv_heads
+                * cfg.head_dim)
+    floor_all = (total + kv_bytes) / spec.hbm_bandwidth
+    floor_active = (active + kv_bytes) / spec.hbm_bandwidth
+    sol_all = args.batch / floor_all
+    sol_active = args.batch / floor_active
+    print(json.dumps({
+        "metric": "moe_decode_tokens_per_s_per_chip",
+        "value": round(out.decode_tokens_per_s, 1),
+        "unit": "tokens/s",
+        "vs_all_expert_floor": round(out.decode_tokens_per_s / sol_all, 4),
+        "vs_active_expert_floor": round(
+            out.decode_tokens_per_s / sol_active, 4),
+        "ttft_p50_ms": round(out.prefill_s * 1e3, 1),
+        "total_params_b": round(total / 1e9, 2),
+        "active_params_b": round(active / 1e9, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

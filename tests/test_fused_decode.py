@@ -360,3 +360,61 @@ class TestFusedInt4:
         # int4 vs fp weights: same model family, tokens may diverge but the
         # run must be finite and in-vocab
         assert int(out.tokens.max()) < CFG.vocab_size
+
+
+class TestKvPrefetch:
+    """The manual deep-lookahead KV prefetch path (kvp) must stay
+    bit-identical to the auto-pipelined write_cache path."""
+
+    def test_kvp_bit_identical_to_v1(self):
+        from physics_llm_inference_tpu.kernels.fused_decode import \
+            _fused_decode_step
+
+        B, S = 16, 32
+        params, kv, tok, P = _setup(B=B, S=S)
+        x = params["embed"][tok[:, 0]].astype(jnp.dtype(CFG.dtype))
+        pos = jnp.full((B,), P, jnp.int32)
+        cos_t, sin_t = rope_frequencies(CFG.head_dim, CFG.max_seq_len,
+                                        CFG.rope_theta)
+
+        def run(kvp):
+            return _fused_decode_step(
+                params["blocks"], x, kv.k.q, kv.k.s, kv.v.q, kv.v.s,
+                pos, None, cos_t[pos], sin_t[pos], cfg=CFG,
+                slot=jnp.int32(P), write_cache=True, interpret=True,
+                kblock=True, kv_prefetch=kvp)
+
+        a, b = run(False), run(True)
+        for name, xa, xb in zip(["x", "kq", "ks", "vq", "vs"], a, b):
+            assert np.array_equal(np.asarray(xa), np.asarray(xb)), name
+
+
+class TestLmHeadGreedy:
+    def test_matches_argmax_over_per_op_logits(self):
+        from physics_llm_inference_tpu.kernels.lmhead import lmhead_greedy
+
+        B = 16
+        params, kv, tok, P = _setup(B=B)
+        # per-op tail on a random hidden state
+        x = jax.random.normal(jax.random.PRNGKey(5), (B, CFG.hidden_dim)
+                              ).astype(jnp.bfloat16)
+        lm = params["lm_head"]
+        got = np.asarray(lmhead_greedy(x, params["norm"], lm.q, lm.s,
+                                       eps=CFG.norm_eps, interpret=True))
+        xn = rms_norm(x[:, None], params["norm"], CFG.norm_eps)
+        logits = _linear(xn, lm).astype(jnp.float32)
+        ref = np.asarray(jnp.argmax(logits[:, 0], -1))
+        assert np.array_equal(got, ref)
+
+    def test_greedy_decode_path_matches_sampled_t0(self):
+        """cached_generate at T=0 (greedy fast path) must emit the same
+        tokens as a near-zero-temperature sampled run."""
+        from physics_llm_inference_tpu.runtime import cached_generate
+
+        params = quantize_params_int8(init_params(jax.random.PRNGKey(0), CFG))
+        prompts = [[5, 9, 2, 7, 11], [3, 4]]
+        a = cached_generate(params, CFG, prompts, 8, temperature=0.0,
+                            kv_dtype=jnp.int8)
+        b = cached_generate(params, CFG, prompts, 8, temperature=1e-6,
+                            kv_dtype=jnp.int8)
+        assert np.array_equal(a.tokens, b.tokens)

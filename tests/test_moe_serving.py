@@ -173,3 +173,60 @@ class TestMoEThroughEngines:
         eng = PagedInferenceEngine(params, MOE_CFG, pc,
                                    mesh=make_mesh(data=1, model=4))
         assert _engine_tokens(ref) == _engine_tokens(eng)
+
+
+class TestCapacityPressure:
+    """Realistic capacity (1.25): drops HAPPEN and serving still works —
+    the production MoE behavior the parity tests above deliberately avoid
+    (they use factor 4.0 so cross-engine token parity is well-defined)."""
+
+    def test_drops_occur_at_realistic_capacity(self):
+        from physics_llm_inference_tpu.models.config import MoEConfig
+        from physics_llm_inference_tpu.models.moe import (init_moe_params,
+                                                          moe_layer)
+
+        moe = MoEConfig(num_experts=4, num_experts_per_tok=2,
+                        capacity_factor=1.25)
+        params = init_moe_params(jax.random.PRNGKey(0), MOE_CFG, moe,
+                                 dtype=jnp.float32)
+        # a crowded batch: 32 tokens, capacity = int(1.25*32*2/4) = 20 per
+        # expert; identical tokens all route to the same top-2 experts, so
+        # 2 experts see 32 > 20 slots → 24 dropped (token, choice) pairs
+        x = jnp.broadcast_to(
+            jax.random.normal(jax.random.PRNGKey(1), (1, MOE_CFG.hidden_dim)),
+            (32, MOE_CFG.hidden_dim))
+        out, aux = moe_layer(x, params, moe)
+        assert int(aux["dropped"]) > 0
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_no_drops_when_capacity_ample(self):
+        from physics_llm_inference_tpu.models.config import MoEConfig
+        from physics_llm_inference_tpu.models.moe import (init_moe_params,
+                                                          moe_layer)
+
+        moe = MoEConfig(num_experts=4, num_experts_per_tok=2,
+                        capacity_factor=4.0)
+        params = init_moe_params(jax.random.PRNGKey(0), MOE_CFG, moe,
+                                 dtype=jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(1), (8, MOE_CFG.hidden_dim))
+        _, aux = moe_layer(x, params, moe)
+        assert int(aux["dropped"]) == 0
+
+    def test_engines_serve_under_capacity_pressure(self):
+        """Both engines at factor 1.25: requests complete with in-vocab
+        tokens (dropped (token, expert) pairs just lose that expert's
+        contribution — weighted combine omits them)."""
+        import dataclasses
+
+        cfg = dataclasses.replace(MOE_CFG, expert_capacity_factor=1.25)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        eng = InferenceEngine(params, cfg,
+                              EngineConfig(num_slots=4, max_seq_len=64,
+                                           prompt_buckets=(8, 16)))
+        peng = PagedInferenceEngine(params, cfg, PagedEngineConfig(
+            max_batch=4, num_blocks=64, block_size=8,
+            max_blocks_per_request=8, prompt_buckets=(8, 16)))
+        for engine in (eng, peng):
+            toks = _engine_tokens(engine)
+            for t in toks:
+                assert len(t) == 6 and max(t) < cfg.vocab_size

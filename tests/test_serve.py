@@ -229,3 +229,96 @@ class TestRealTokenizerPool:
         assert pool.detokenize(ids) == text
         batch = pool.tokenize_batch([text, text * 2])
         assert batch[0] == ids
+
+
+@pytest.fixture(scope="module")
+def paged_server():
+    """HTTP server over the PAGED engine (round-2 gap: the server was only
+    ever tested with the slot engine)."""
+    from physics_llm_inference_tpu.models import ModelConfig, init_params
+    from physics_llm_inference_tpu.serve.http_server import InferenceServer
+    from physics_llm_inference_tpu.serve.paged_engine import (
+        PagedEngineConfig, PagedInferenceEngine)
+
+    cfg = ModelConfig(vocab_size=256, hidden_dim=64, num_layers=2,
+                      num_heads=4, num_kv_heads=2, intermediate_dim=128,
+                      max_seq_len=128, dtype="float32")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    eng = PagedInferenceEngine(params, cfg, PagedEngineConfig(
+        max_batch=4, num_blocks=64, block_size=16,
+        max_blocks_per_request=6, prompt_buckets=(16, 32)))
+    srv = InferenceServer(eng, port=0).start_background()
+    yield srv
+    srv.shutdown()
+
+
+class TestHTTPServerPagedEngine:
+    def test_chat_completion_paged(self, paged_server):
+        body = {"model": "paged", "max_tokens": 6,
+                "messages": [{"role": "user", "content": "hi there"}]}
+        with _post(paged_server, "/v1/chat/completions", body) as r:
+            out = json.loads(r.read())
+        assert out["choices"][0]["message"]["content"]
+        assert out["usage"]["completion_tokens"] >= 1
+
+    def test_streaming_sse_paged(self, paged_server):
+        body = {"model": "paged", "max_tokens": 4, "stream": True,
+                "messages": [{"role": "user", "content": "stream me"}]}
+        with _post(paged_server, "/v1/chat/completions", body) as r:
+            raw = r.read().decode()
+        assert raw.rstrip().endswith("data: [DONE]")
+
+    def test_metrics_paged(self, paged_server):
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{paged_server.port}/metrics",
+                timeout=10) as r:
+            m = json.loads(r.read())
+        assert "pool" in m and "radix" in m
+
+
+@pytest.mark.slow
+class TestHTTPServerTP:
+    def test_chat_completion_over_tp_mesh(self):
+        """Server driving a TP-sharded slot engine on the virtual mesh."""
+        from physics_llm_inference_tpu.models import (ModelConfig,
+                                                      init_params)
+        from physics_llm_inference_tpu.parallel import make_mesh
+        from physics_llm_inference_tpu.serve import (EngineConfig,
+                                                     InferenceEngine)
+        from physics_llm_inference_tpu.serve.http_server import \
+            InferenceServer
+
+        cfg = ModelConfig(vocab_size=256, hidden_dim=64, num_layers=2,
+                          num_heads=8, num_kv_heads=4, intermediate_dim=128,
+                          max_seq_len=128, dtype="float32")
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        eng = InferenceEngine(params, cfg,
+                              EngineConfig(num_slots=4, max_seq_len=96,
+                                           prompt_buckets=(16, 32)),
+                              mesh=make_mesh(data=2, model=4))
+        srv = InferenceServer(eng, port=0).start_background()
+        try:
+            body = {"model": "tp", "max_tokens": 5,
+                    "messages": [{"role": "user", "content": "hello tp"}]}
+            with _post(srv, "/v1/chat/completions", body) as r:
+                out = json.loads(r.read())
+            assert out["choices"][0]["message"]["content"]
+        finally:
+            srv.shutdown()
+
+
+class TestCLISharding:
+    def test_serve_tp_check(self, capsys):
+        """`pli-tpu serve --tp 4 --dp 2 --check` builds the sharded engine
+        + server on the virtual 8-device mesh and exits cleanly."""
+        from physics_llm_inference_tpu.cli import main
+
+        main(["serve", "--config", "toy", "--tp", "4", "--dp", "2",
+              "--port", "0", "--check"])
+
+    def test_serve_tp_too_many_devices(self):
+        from physics_llm_inference_tpu.cli import main
+
+        with pytest.raises(SystemExit):
+            main(["serve", "--config", "toy", "--tp", "64", "--port", "0",
+                  "--check"])
