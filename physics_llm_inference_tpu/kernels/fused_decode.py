@@ -1066,16 +1066,22 @@ def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
 
     # kvp: manual KV streaming with one-layer lookahead (see _kernel).
     # Requires the uniform-slot in-place write path, issue slots in the
-    # DOWN phase (ndn >= na), and ring+staging VMEM that fits alongside
-    # the weight double-buffers and activation scratch.
+    # DOWN phase (ndn >= na), and a WHOLE working set (rings + staging +
+    # activation scratch + weight double-buffers) under the scoped-VMEM
+    # limit — the ring alone passing cost a 104 MB > 100 MB compile OOM at
+    # B=128/w4.
     kvp_vmem = (2 * na * RB * S * flat_hd        # int8 value rings
                 + 2 * na * RB * HKV * S * 4      # f32 scale rings
                 + 2 * na * RB * 8 * flat_hd)     # int8 staging windows
-    # S % 128: the scale rings' LAST dim is S — manual DMA slices must be
-    # lane-aligned (Mosaic: "Slice shape along dimension 3 must be aligned
-    # to tiling (128)" at S=48)
+    act_vmem = (B * D * 6                        # x f32 + h bf16
+                + B * QO * (4 if (kblock or w4) else 2)   # qkv acc
+                + B * 2 * F * (4 if (kblock or w4) else 2)  # gate|up acc
+                + B * HQ * HD * 4                # q + attn bf16
+                + B * flat_hd * 7                # kcur/vcur bf16 + int8
+                + B * max(D, HQ * HD, F))        # act8 row
     kvp = (kv_prefetch and write_cache and not act8
-           and ndn >= na and S % 128 == 0 and kvp_vmem <= (68 << 20))
+           and ndn >= na and S % 128 == 0
+           and kvp_vmem + act_vmem + (20 << 20) <= (98 << 20))
 
     wqkv, wo = params["wqkv"], params["wo"]
     wgu, wdn = params["w_gate_up"], params["w_down"]

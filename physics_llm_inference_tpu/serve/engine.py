@@ -68,6 +68,16 @@ class EngineConfig:
     # discards horizon tokens past a stop/max_tokens. Power-of-two
     # horizons are compiled on demand (StepCache-style).
     decode_horizon: int = 8
+    # Speculative decoding (greedy-only): draft up to k tokens per iteration
+    # by prompt lookup over each request's own history
+    # (runtime/speculative.NgramIndex — no draft model) and verify them in
+    # ONE (num_slots, k+1) forward. Greedy accept keeps outputs
+    # bit-identical to plain decode; repetitive text advances several
+    # tokens per dispatch. Engaged only on iterations where every active
+    # request is greedy (temperature 0, no top-k/p); otherwise the normal
+    # decode path runs. 0 = off.
+    speculative_k: int = 0
+    spec_ngram: int = 2
 
 
 @dataclass
@@ -190,6 +200,16 @@ class InferenceEngine:
         self._prefill_cache = StepCache(self._make_prefill)
         self._decode_fns: dict[int, object] = {}
         self._decode_fn = self._decode_for(1, filtered=False)
+        # speculative decoding state: per-slot token history + n-gram index
+        if c.speculative_k > 0:
+            assert self.mesh is None, \
+                "speculative decoding is single-device (host-side drafting)"
+            self._spec_hist = np.zeros((c.num_slots, c.max_seq_len),
+                                       dtype=np.int32)
+            self._spec_pos = np.zeros(c.num_slots, dtype=np.int32)
+            self._spec_idx: dict[int, object] = {}
+            self._spec_fn = None
+            self._spec_accept_hist: list[float] = []
         # Dispatch trace: when set to a list, every jitted dispatch records
         # (kind, shape-params, slots). Multi-host DP (parallel/multihost.py)
         # requires this sequence to be identical on every host — the
@@ -314,6 +334,96 @@ class InferenceEngine:
             out_specs=(P("data", None), kvp, kvp),
             check_vma=False)
         return jax.jit(fn)
+
+    # ------------------------------------------------- speculative decoding
+
+    def _spec_emit(self, slot: int, tok: int) -> None:
+        """Append an emitted token to the slot's history + n-gram index."""
+        pos = int(self._spec_pos[slot])
+        if pos >= self.config.max_seq_len:
+            return
+        self._spec_hist[slot, pos] = tok
+        self._spec_pos[slot] = pos + 1
+        idx = self._spec_idx.get(slot)
+        if idx is not None:
+            idx.add(self._spec_hist[slot], pos + 1 - self.config.spec_ngram)
+
+    def _spec_for(self, w: int):
+        if self._spec_fn is None:
+            cfg = self._local_cfg or self.cfg
+
+            def verify(params, k, v, window, starts):
+                # one (num_slots, w) forward at per-slot cache offsets;
+                # engine slots have no left padding → positions == slots.
+                # Rejected drafts' KV writes land beyond the accepted
+                # length and are overwritten before ever being attended
+                # (runtime/speculative.py shape discipline).
+                kvs = KVSlice(k, v, starts)
+                slots = starts[:, None] + jnp.arange(w)[None, :]
+                logits, kvs = forward(params, window, cfg, kv=kvs,
+                                      positions=slots, slots=slots)
+                return (jnp.argmax(logits, -1).astype(jnp.int32),
+                        kvs.k, kvs.v)
+
+            self._spec_fn = jax.jit(verify)
+        return self._spec_fn
+
+    def _spec_iteration(self, decode_reqs, emitted) -> None:
+        """One speculative decode dispatch: draft k tokens per slot from
+        its own history, verify in one (num_slots, k+1) forward, greedily
+        accept the matching prefix + the model's bonus token. Outputs are
+        bit-identical to plain greedy decode (ref capability family:
+        ch08 multi-token-per-dispatch; scheme: prompt lookup)."""
+        c = self.config
+        w = c.speculative_k + 1
+        ns = c.num_slots
+        window = np.zeros((ns, w), dtype=np.int32)
+        drafts = np.zeros((ns, c.speculative_k), dtype=np.int32)
+        starts = np.full(ns, c.max_seq_len - 1 - w, dtype=np.int32)
+        for r in decode_reqs:
+            s = self._slot_of[r.request_id]
+            window[s, 0] = r.output_tokens[-1]
+            idx = self._spec_idx.get(s)
+            if idx is not None:
+                drafts[s] = idx.propose(self._spec_hist[s],
+                                        int(self._spec_pos[s]),
+                                        c.speculative_k)
+            window[s, 1:] = drafts[s]
+            starts[s] = self._lengths[s]
+        if self.dispatch_trace is not None:
+            self.dispatch_trace.append(
+                ("spec", w, tuple(int(self._slot_of[r.request_id])
+                                  for r in decode_reqs)))
+        preds, self._k, self._v = self._spec_for(w)(
+            self.params, self._k, self._v, jnp.asarray(window),
+            jnp.asarray(starts))
+        preds = np.asarray(preds)
+        accepted_total = 0
+        for r in decode_reqs:
+            s = self._slot_of[r.request_id]
+            stopped = False
+
+            def emit_one(tok_i):
+                nonlocal stopped, accepted_total
+                self._lengths[s] += 1
+                r.output_tokens.append(tok_i)
+                emitted.setdefault(r.request_id, []).append(tok_i)
+                self._spec_emit(s, tok_i)
+                self._notify(r, tok_i)
+                accepted_total += 1
+                if ((r.sampling.stop_tokens
+                     and tok_i in r.sampling.stop_tokens)
+                        or r.num_generated >= r.max_new_tokens):
+                    stopped = True
+
+            m = 0
+            while (m < c.speculative_k and not stopped
+                   and drafts[s, m] == preds[s, m]):
+                emit_one(int(drafts[s, m]))
+                m += 1
+            if not stopped:
+                emit_one(int(preds[s, m]))
+        self._spec_accept_hist.append(accepted_total / len(decode_reqs))
 
     def warmup(self, buckets=None) -> float:
         """Precompile the decode step and the given (default: all) prompt
@@ -478,6 +588,14 @@ class InferenceEngine:
             r.first_token_time = time.monotonic()
             r.output_tokens.append(tok_i)
             emitted.setdefault(r.request_id, []).append(tok_i)
+            if self.config.speculative_k > 0:
+                from ..runtime.speculative import NgramIndex
+
+                self._spec_hist[slot, :p] = r.prompt_tokens
+                self._spec_pos[slot] = p
+                self._spec_idx[slot] = NgramIndex(
+                    self._spec_hist[slot], 0, p, self.config.spec_ngram)
+                self._spec_emit(slot, tok_i)
             self._notify(r, tok_i)
         self._prefilling = still_prefilling
 
@@ -501,6 +619,15 @@ class InferenceEngine:
             # static no-filter fast path: skips the per-step vocab sort
             # when no active request asks for top-k/top-p
             filtered = bool((top_ks > 0).any() or (top_ps < 1.0).any())
+            # speculative iteration: all-greedy, capacity for the window
+            ds = [self._slot_of[r.request_id] for r in decode_reqs]
+            if (self.config.speculative_k > 0 and not filtered
+                    and bool((temps[ds] == 0.0).all())
+                    and bool((self._lengths[ds] + self.config.speculative_k
+                              + 1 < self.config.max_seq_len).all())):
+                self._spec_iteration(decode_reqs, emitted)
+                decode_reqs = []
+        if decode_reqs:
             if self.dispatch_trace is not None:
                 self.dispatch_trace.append(
                     ("decode", h, filtered,
@@ -529,6 +656,10 @@ class InferenceEngine:
                     self._lengths[s] += 1
                     r.output_tokens.append(tok_i)
                     emitted.setdefault(r.request_id, []).append(tok_i)
+                    if self.config.speculative_k > 0:
+                        # keep the slot's draft history current even when
+                        # an iteration fell back to the normal decode path
+                        self._spec_emit(s, tok_i)
                     self._notify(r, tok_i)
                     if (r.sampling.stop_tokens
                             and tok_i in r.sampling.stop_tokens):
@@ -620,7 +751,7 @@ class InferenceEngine:
         """Aggregate throughput (ref get_stats ch10/engine.py:200-211) +
         component stats (SURVEY.md §5 observability contract)."""
         elapsed = time.monotonic() - self._start
-        return {
+        out = {
             "total_requests": self._total_requests,
             "total_tokens": self._total_tokens,
             "tokens_per_s": self._total_tokens / elapsed if elapsed else 0.0,
@@ -628,3 +759,12 @@ class InferenceEngine:
             "prefill_compile": self._prefill_cache.stats(),
             "active_slots": int(self._active.sum()),
         }
+        if self.config.speculative_k > 0:
+            hist = self._spec_accept_hist
+            out["speculative"] = {
+                "dispatches": len(hist),
+                "tokens_per_dispatch": (sum(hist) / len(hist)) if hist
+                else 0.0,
+                "draft_k": self.config.speculative_k,
+            }
+        return out

@@ -138,7 +138,7 @@ than fp32 — passes on magnitude).
 |---|---|---|---|---|
 | parallel forward (W-only INT8) | {rep['ppl_fp']:.4f} | {rep['ppl_quantized']:.4f} | {rep['delta']:+.4f} | {verdict(rep['delta'])} |
 | decode path (INT8 W+KV, serving machinery) | {ppl_dec_fp:.4f} | {ppl_dec_q:.4f} | {d_dec:+.4f} | {verdict(d_dec)} |
-| decode path (INT4 W group-wise + INT8 KV) | {ppl_dec_fp:.4f} | {ppl_dec_q4:.4f} | {d_dec4:+.4f} | {verdict(d_dec4)} (informational — the budget is the INT8 native format's; W4 RTN is expected to cost more) |
+| decode path (INT4 W group-wise + INT8 KV) | {ppl_dec_fp:.4f} | {ppl_dec_q4:.4f} | {d_dec4:+.4f} | {d_dec4/ppl_dec_fp*100:+.1f}% rel — measured, not budgeted (W4 RTN; INT8 is the budgeted native format) |
 
 Tokenizer: trained BPE (vocab {cfg.vocab_size}) through TokenizerPool —
 round-trip exact: {tok_ok}.

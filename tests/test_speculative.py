@@ -74,3 +74,62 @@ class TestSpeculativeParity:
         spec = speculative_generate(params, CFG, prompts, 40, draft_k=4)
         assert spec.extras["model_passes"] < 40, spec.extras
         assert spec.extras["tokens_per_pass"] > 1.0
+
+
+class TestEngineSpeculative:
+    """Speculative decoding through InferenceEngine (EngineConfig
+    .speculative_k): greedy outputs must be bit-identical to the plain
+    engine, repetitive prompts must accept >1 token/dispatch, and mixed
+    sampling iterations must fall back to the normal decode path."""
+
+    def _mk(self, spec_k=0):
+        import jax
+
+        from physics_llm_inference_tpu.models import ModelConfig, init_params
+        from physics_llm_inference_tpu.serve.engine import (EngineConfig,
+                                                            InferenceEngine)
+
+        cfg = ModelConfig(vocab_size=64, hidden_dim=64, num_layers=2,
+                          num_heads=4, num_kv_heads=2, intermediate_dim=128,
+                          max_seq_len=128, dtype="float32")
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        eng = InferenceEngine(params, cfg, EngineConfig(
+            num_slots=4, max_seq_len=96, prompt_buckets=(16, 32),
+            decode_horizon=1, speculative_k=spec_k))
+        return eng
+
+    def test_bit_identical_to_plain_engine(self):
+        from physics_llm_inference_tpu.serve.engine import GenerationRequest
+
+        # repetitive prompt → drafts accept; varied prompt → drafts miss
+        prompts = [[7, 8, 9, 7, 8, 9, 7, 8, 9, 7, 8],
+                   [3, 1, 4, 1, 5, 9, 2, 6],
+                   [5, 5, 5, 5, 5, 5, 5]]
+        ref = self._mk(0)
+        spec = self._mk(4)
+        for p in prompts:
+            a = ref.generate(GenerationRequest(prompt_tokens=p,
+                                               max_tokens=24,
+                                               temperature=0.0))
+            b = spec.generate(GenerationRequest(prompt_tokens=p,
+                                                max_tokens=24,
+                                                temperature=0.0))
+            assert a.tokens == b.tokens, (p, a.tokens, b.tokens)
+        st = spec.stats()["speculative"]
+        assert st["dispatches"] > 0
+        # greedy toy models loop quickly -> prompt-lookup must beat 1
+        # token per dispatch on at least some of this workload
+        assert st["tokens_per_dispatch"] > 1.0, st
+
+    def test_sampled_requests_fall_back(self):
+        from physics_llm_inference_tpu.serve.engine import GenerationRequest
+
+        spec = self._mk(4)
+        spec.dispatch_trace = []
+        out = spec.generate(GenerationRequest(
+            prompt_tokens=[1, 2, 3, 1, 2, 3], max_tokens=8,
+            temperature=0.7))
+        assert len(out.tokens) == 8
+        kinds = {t[0] for t in spec.dispatch_trace}
+        assert "spec" not in kinds    # sampled -> normal decode path
+        assert "decode" in kinds
