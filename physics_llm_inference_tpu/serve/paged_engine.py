@@ -40,11 +40,16 @@ from .engine import GenerationRequest, GenerationResult
 
 @dataclass
 class PagedEngineConfig:
-    num_blocks: int = 256
-    block_size: int = 16
-    max_batch: int = 8                  # compiled decode width
-    max_blocks_per_request: int = 32
-    prompt_buckets: tuple = (16, 32, 64, 128, 256, 512)
+    """Defaults sized for THROUGHPUT serving at the measured batch knee
+    (B=64, docs/PERF.md — the round-2 defaults of max_batch=8 were
+    test-sized): a 64-deep decode batch with 1024-token capacity per
+    request. Tests override with smaller geometries."""
+
+    num_blocks: int = 64 * 16 + 32
+    block_size: int = 64
+    max_batch: int = 64                 # compiled decode width
+    max_blocks_per_request: int = 16
+    prompt_buckets: tuple = (16, 32, 64, 128, 256, 512, 1024)
     max_prefill_chunk: int = 512
     policy: SchedulingPolicy = SchedulingPolicy.FCFS
     enable_radix: bool = True

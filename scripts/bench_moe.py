@@ -39,8 +39,8 @@ def main():
     ap.add_argument("--decode", type=int, default=64)
     args = ap.parse_args()
 
-    from physics_llm_inference_tpu.models import ModelConfig
-    from physics_llm_inference_tpu.models.quant import init_params_int8
+    from physics_llm_inference_tpu.models import (ModelConfig, init_params,
+                                                  quantize_params_int8)
     from physics_llm_inference_tpu.runtime import cached_generate
     from physics_llm_inference_tpu.specs import get_tpu_spec
 
@@ -51,7 +51,9 @@ def main():
                       num_experts=args.experts,
                       num_experts_per_tok=args.topk,
                       expert_capacity_factor=1.25)
-    params = init_params_int8(jax.random.PRNGKey(0), cfg)
+    # init_params_int8 is dense-only; MoE leaves come from the bf16 init +
+    # quantization pass (2.4B bf16 transient fits 16 GB HBM)
+    params = quantize_params_int8(init_params(jax.random.PRNGKey(0), cfg))
     total = cfg.param_count()
     expert_w = (cfg.num_layers * cfg.num_experts * 3 * cfg.hidden_dim
                 * cfg.intermediate_dim)

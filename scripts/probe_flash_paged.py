@@ -236,10 +236,12 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default="",
                     choices=["", "flash", "paged", "perop"])
+    ap.add_argument("--bs", type=int, default=128, help="paged block size")
+    ap.add_argument("--mb", type=int, default=4, help="blocks per request")
     a = ap.parse_args()
     if a.only in ("", "flash"):
         flash_sweep()
     if a.only in ("", "paged"):
-        paged_probe()
+        paged_probe(BS=a.bs, MB=a.mb)
     if a.only in ("", "perop"):
-        paged_perop_probe()
+        paged_perop_probe(BS=a.bs, MB=a.mb)

@@ -70,9 +70,13 @@ def main():
         return logits
 
     kvs = cache.as_slice()
+    import time as _t
+    t0 = _t.time()
     full(params, ids, kvs)  # compile
+    print(f"[full] compile {_t.time()-t0:.0f}s", flush=True)
     t_full = min(readout_timed(lambda: full(params, ids, kvs))[1]
                  for _ in range(3))
+    print(f"[full] {t_full*1e3:.1f} ms", flush=True)
 
     # 2. matmul-only with the engine's int8 path
     from physics_llm_inference_tpu.models.transformer import _linear
@@ -95,9 +99,12 @@ def main():
         return h
 
     x = jax.random.normal(jax.random.PRNGKey(1), (T, D)).astype(jnp.bfloat16)
+    t0 = _t.time()
     mm_int8(params, x)
+    print(f"[mm_int8] compile {_t.time()-t0:.0f}s", flush=True)
     t_mm8 = min(readout_timed(lambda: mm_int8(params, x))[1]
                 for _ in range(3))
+    print(f"[mm_int8] {t_mm8*1e3:.1f} ms", flush=True)
 
     # 3. matmul-only, pre-dequantized bf16 via plain jnp.dot — ONE layer's
     # weights (32 layers of bf16 don't fit HBM at 7B), scanned L times with
@@ -120,7 +127,9 @@ def main():
         h, _ = jax.lax.scan(body, x, jnp.arange(L))
         return h
 
+    t0 = _t.time()
     mm_bf16(x, wq, wo_, wg, wd)
+    print(f"[mm_bf16] compile {_t.time()-t0:.0f}s", flush=True)
     t_mmb = min(readout_timed(lambda: mm_bf16(x, wq, wo_, wg, wd))[1]
                 for _ in range(3))
 

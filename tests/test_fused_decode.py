@@ -5,6 +5,9 @@ these tests check it against the per-op decode path (interpret mode on CPU;
 the same comparison is driven on real TPU by the verify flow)."""
 import numpy as np
 import jax
+import pytest
+
+_slow = pytest.mark.slow
 import jax.numpy as jnp
 
 from physics_llm_inference_tpu.models import (ModelConfig, init_params,
@@ -232,6 +235,7 @@ class TestFusedPagedParity:
         return (cfg, params["blocks"], x0, lens, tables, cos_g, sin_g,
                 slot, paged)
 
+    @_slow
     def test_paged_matches_slot_megakernel(self):
         from physics_llm_inference_tpu.kernels.fused_decode import (
             _fused_decode_step, fused_paged_decode_step)
@@ -261,6 +265,7 @@ class TestFusedPagedParity:
                     rtol=2e-2, atol=2e-2,
                     err_msg=f"wmajor={wmajor} {name}")
 
+    @_slow
     def test_paged_step_impl_scatter_layout(self):
         """The fused branch's pool scatter must land new K/V exactly where
         the per-op path writes them (advanced-indexing axis order)."""
@@ -309,6 +314,7 @@ class TestFusedInt4:
         tok = jnp.argmax(logits_p[:, 0], -1)[:, None].astype(jnp.int32)
         return params, kv, tok, P
 
+    @_slow
     def test_int4_fused_matches_per_op(self):
         B = 8
         params, kv, tok, P = self._setup4(B=B)

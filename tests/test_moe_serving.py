@@ -83,6 +83,7 @@ class TestPadRouting:
 
 class TestMoEThroughEngines:
     @pytest.mark.parametrize("int8", [False, True], ids=["fp32", "int8"])
+    @pytest.mark.slow
     def test_paged_engine_matches_slot_engine(self, int8):
         """Same MoE model, greedy, through both engines.
 
@@ -159,6 +160,7 @@ class TestMoEThroughEngines:
         assert [t[0] for t in a] == [t[0] for t in b]
         assert all(len(t) == 4 for t in b)
 
+    @pytest.mark.slow
     def test_moe_tp_sharded_paged_engine(self):
         """MoE model through the TP-sharded paged engine: expert weights
         replicate across 'model' (they shard over 'expert' in parallel/ep.py)

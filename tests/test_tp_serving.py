@@ -151,6 +151,7 @@ class TestTPSlotEngine:
 
 class TestTPPagedEngine:
     @pytest.mark.parametrize("int8", [False, True], ids=["fp32", "int8"])
+    @pytest.mark.slow
     def test_greedy_parity_model4(self, int8):
         params = _params(int8)
         pc = PagedEngineConfig(num_blocks=32, block_size=8, max_batch=4,
