@@ -503,10 +503,7 @@ def _paged_kernel(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
                   wqkv_ref, sqkv_ref, wo_ref, swo_ref, wgu_ref, sgu_ref,
                   wdn_ref, sdn_ref, cos_ref, sin_ref, lens_ref,
                   kq_any, ks_any, vq_any, vs_any,
-                  xout_ref, ko1_ref, ko2_ref, vo1_ref, vo2_ref,
-                  x_scr, h_scr, qkv_scr, q_scr, kcur_scr, vcur_scr, attn_scr,
-                  gu_scr, k8_scr, v8_scr, kscl_scr, vscl_scr,
-                  kqb, vqb, ksb, vsb, rsem,
+                  xout_ref, ko1_ref, ko2_ref, vo1_ref, vo2_ref, *rest,
                   cfgk):
     """Fused whole-model decode over PAGED KV pools.
 
@@ -525,7 +522,16 @@ def _paged_kernel(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
     (cheap: ~4 MB/step vs the GB-scale weight stream).
     """
     (L, B, S, D, F, HQ, HKV, HD, QO, TNQ, TNW, TNG, TK, RBP, MB, BS, nq,
-     na, nwo, ngu, ndn, eps, wmajor, silu_spread) = cfgk
+     na, nwo, ngu, ndn, eps, wmajor, silu_spread, inplace) = cfgk
+    if inplace:
+        (kqp_out, ksp_out, vqp_out, vsp_out,
+         x_scr, h_scr, qkv_scr, q_scr, kcur_scr, vcur_scr, attn_scr,
+         gu_scr, k8_scr, v8_scr, kscl_scr, vscl_scr,
+         kqb, vqb, ksb, vsb, kwst, vwst, rsem, wsem) = rest
+    else:
+        (x_scr, h_scr, qkv_scr, q_scr, kcur_scr, vcur_scr, attn_scr,
+         gu_scr, k8_scr, v8_scr, kscl_scr, vscl_scr,
+         kqb, vqb, ksb, vsb, rsem) = rest
 
     l = pl.program_id(0)
     t = pl.program_id(1)
@@ -536,13 +542,47 @@ def _paged_kernel(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
     sm_scale = 1.0 / math.sqrt(HD)
     SC = MB * BS  # per-request KV capacity covered by the ring
 
+    def pool_write_dmas(i):
+        """In-place cache writes for request block i: per request, the
+        8-slot int8 window of its CURRENT pool block (composed in kwst/
+        vwst) and that block's scale plane (updated in the ring) go back
+        to the aliased pool buffers at the table-resolved block index."""
+        dmas = []
+        for rr in range(RBP):
+            r = i * RBP + rr
+            off = lens_sp_ref[r]
+            c = off // BS
+            blk = tables_ref[r, c]
+            base8 = ((off % BS) // 8) * 8
+            cols = pl.ds(c * BS, BS)
+            dmas.extend([
+                pltpu.make_async_copy(
+                    kwst.at[i, rr], kqp_out.at[l, blk, pl.ds(base8, 8)],
+                    wsem.at[i, 0]),
+                pltpu.make_async_copy(
+                    ksb.at[i, rr, :, cols], ksp_out.at[l, blk],
+                    wsem.at[i, 1]),
+                pltpu.make_async_copy(
+                    vwst.at[i, rr], vqp_out.at[l, blk, pl.ds(base8, 8)],
+                    wsem.at[i, 2]),
+                pltpu.make_async_copy(
+                    vsb.at[i, rr, :, cols], vsp_out.at[l, blk],
+                    wsem.at[i, 3]),
+            ])
+        return dmas
+
     def kv_block_dmas(lx, i):
         """All copies for request block i of layer lx: 4 streams ×
         RBP requests × MB table columns, each a single pool block."""
         dmas = []
         for rr in range(RBP):
             r = i * RBP + rr
-            last = jnp.maximum((lens_sp_ref[r] - 1) // BS, 0)
+            # clamp to the block where the new token WILL land (tables
+            # cover lengths+1): at a block boundary (lens % BS == 0) the
+            # write path composes its 8-slot window from ring region
+            # lens // BS, which must hold the DESTINATION block's real
+            # content for the write-back to be exact
+            last = lens_sp_ref[r] // BS
             for c in range(MB):
                 idx = tables_ref[r, jnp.minimum(c, last)]
                 cols = pl.ds(c * BS, BS)
@@ -568,13 +608,26 @@ def _paged_kernel(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
         # layer 0 has no earlier slack window: issue its blocks now
         for i in range(na):
             for d in kv_block_dmas(0, i):
-                d.start()
+                d.start(priority=1)
+
+    if inplace:
+        @pl.when(t == P_GU)
+        def _():
+            # drain this layer's pool writes before their staging buffers
+            # and scale-ring columns are reused (emitted BEFORE the issue
+            # blocks below — in-step program order)
+            for i in range(na):
+                for d in pool_write_dmas(i):
+                    d.wait()
 
     for i_ in range(na):
         @pl.when((l < L - 1) & (t == P_DN + i_))
         def _(i=i_):
+            # background priority: foreground copies would delay the
+            # 1-step-lookahead weight tiles and stall the MXU (see the
+            # dense kvp path)
             for d in kv_block_dmas(l + 1, i):
-                d.start()
+                d.start(priority=1)
 
     def _mm(a, w_tile):
         wdims = ((1,), (1,)) if wmajor else ((1,), (0,))
@@ -626,6 +679,12 @@ def _paged_kernel(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
             B, HKV * HD).astype(kcur_scr.dtype)
         vcur_scr[:] = (vq8.astype(jnp.float32) * vsc).reshape(
             B, HKV * HD).astype(vcur_scr.dtype)
+        if inplace:
+            # the in-place pool writes compose from these at ATTN steps
+            k8_scr[:] = kq8.reshape(B, HKV * HD)
+            v8_scr[:] = vq8.reshape(B, HKV * HD)
+            kscl_scr[:] = ksc[..., 0]
+            vscl_scr[:] = vsc[..., 0]
 
     # ---- ATTN: RBP requests per step, each over its ring-gathered blocks
     @pl.when((t >= P_ATTN) & (t < P_WO))
@@ -679,6 +738,38 @@ def _paged_kernel(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
             o_parts.append(pv)
         o = jnp.concatenate(o_parts, axis=1) / denom
         attn_scr[rows, :] = o.reshape(RBP, HQ * HD).astype(attn_scr.dtype)
+
+        if inplace:
+            # in-place pool writes: per request, compose the 8-slot int8
+            # window of its current block from the (pre-update) ring + the
+            # new token, update the scale plane's slot lane in the ring,
+            # and DMA both back to the aliased pool buffers (drained at
+            # P_GU). Kills the XLA pool-scatter that measured +6.8 ms/step
+            # at 7B.
+            for rr in range(RBP):
+                r = i * RBP + rr
+                off = lens_sp_ref[r]
+                c = off // BS
+                base8 = ((off % BS) // 8) * 8
+                ring0 = c * BS + base8
+                win_k = kqb[i, rr, pl.ds(ring0, 8), :]    # (8, flat)
+                win_v = vqb[i, rr, pl.ds(ring0, 8), :]
+                sel = (lax.broadcasted_iota(jnp.int32, (8, 1), 0) + base8
+                       == off % BS)
+                k8r = k8_scr[pl.ds(r, 1), :]              # (1, flat)
+                v8r = v8_scr[pl.ds(r, 1), :]
+                kwst[i, rr] = jnp.where(sel, k8r, win_k)
+                vwst[i, rr] = jnp.where(sel, v8r, win_v)
+                lane = lax.broadcasted_iota(jnp.int32, (HKV, BS), 1)
+                cols = pl.ds(c * BS, BS)
+                ksl = kscl_scr[pl.ds(r, 1), :].reshape(HKV, 1)
+                vsl = vscl_scr[pl.ds(r, 1), :].reshape(HKV, 1)
+                ksb[i, rr, :, cols] = jnp.where(lane == off % BS, ksl,
+                                                ksb[i, rr, :, cols])
+                vsb[i, rr, :, cols] = jnp.where(lane == off % BS, vsl,
+                                                vsb[i, rr, :, cols])
+            for d in pool_write_dmas(i):
+                d.start(priority=1)
 
     @pl.when((t >= P_WO) & (t < P_GU))
     def _():
@@ -760,12 +851,14 @@ def _paged_rbp(B: int, MB: int) -> int | None:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "tn_target",
-                                             "wmajor", "silu_spread"))
+                                             "wmajor", "silu_spread",
+                                             "inplace"))
 def fused_paged_decode_step(params, x, kq_pool, ks_pool, vq_pool, vs_pool,
                             tables, lengths, rope_cos_g, rope_sin_g, cfg,
                             interpret: bool | None = None,
                             tn_target: int = 512, wmajor: bool = False,
-                            silu_spread: bool = False):
+                            silu_spread: bool = False,
+                            inplace: bool = False):
     """One full decode step over all layers, KV in paged INT8 pools.
 
     kq_pool/vq_pool: (L, NB, BS, Hkv·hd) int8; ks_pool/vs_pool:
@@ -775,6 +868,12 @@ def fused_paged_decode_step(params, x, kq_pool, ks_pool, vq_pool, vs_pool,
 
     Returns (x_out, k_new (L,B,Hkv·hd) int8, ksc (L,B,Hkv), v_new, vsc) —
     the caller scatters new K/V into the pools (models/paged_transformer).
+
+    inplace=True: the kernel ALSO writes the new K/V into the pools itself
+    (aliased buffers, manual window DMAs at the attention steps) and
+    additionally returns (kq_pool', ks_pool', vq_pool', vs_pool') — the
+    caller uses those directly and skips the XLA scatter, which measured
+    +6.8 ms/step at 7B B=64 (docs/PERF.md round-3 paged section).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -803,7 +902,8 @@ def fused_paged_decode_step(params, x, kq_pool, ks_pool, vq_pool, vs_pool,
 
     # S slot in the tuple is unused by the paged kernel (capacity = MB·BS)
     cfgk = (L, B, 0, D, F, HQ, HKV, HD, QO, TNQ, TNW, TNG, TK, RBP, MB, BS,
-            nq, na, nwo, ngu, ndn, cfg.norm_eps, wmajor, silu_spread)
+            nq, na, nwo, ngu, ndn, cfg.norm_eps, wmajor, silu_spread,
+            inplace)
     kernel = functools.partial(_paged_kernel, cfgk=cfgk)
 
     def win(lo, hi, maker):
@@ -850,6 +950,18 @@ def fused_paged_decode_step(params, x, kq_pool, ks_pool, vq_pool, vs_pool,
         jax.ShapeDtypeStruct((L, B, HKV * HD), jnp.int8),
         jax.ShapeDtypeStruct((L, B, HKV), jnp.float32),
     ]
+    aliases = {}
+    if inplace:
+        out_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 4
+        out_shape += [
+            jax.ShapeDtypeStruct(kq_pool.shape, jnp.int8),
+            jax.ShapeDtypeStruct(ks_pool.shape, jnp.float32),
+            jax.ShapeDtypeStruct(vq_pool.shape, jnp.int8),
+            jax.ShapeDtypeStruct(vs_pool.shape, jnp.float32),
+        ]
+        # input indices include the 2 scalar-prefetch args; pools are the
+        # last four inputs -> in-place aliased to outputs 5-8
+        aliases = {16: 5, 17: 6, 18: 7, 19: 8}
 
     bf = jnp.bfloat16
     lens2 = jnp.asarray(lengths, jnp.int32).reshape(B, 1)
@@ -877,10 +989,17 @@ def fused_paged_decode_step(params, x, kq_pool, ks_pool, vq_pool, vs_pool,
                 pltpu.VMEM((na, RBP, MB * BS, flat_hd), jnp.int8),  # vq ring
                 pltpu.VMEM((na, RBP, HKV, MB * BS), jnp.float32),   # ks ring
                 pltpu.VMEM((na, RBP, HKV, MB * BS), jnp.float32),   # vs ring
+                *([
+                    pltpu.VMEM((na, RBP, 8, flat_hd), jnp.int8),  # k stage
+                    pltpu.VMEM((na, RBP, 8, flat_hd), jnp.int8),  # v stage
+                ] if inplace else []),
                 pltpu.SemaphoreType.DMA((na, 4)),       # block-read sems
+                *([pltpu.SemaphoreType.DMA((na, 4))]    # pool-write sems
+                  if inplace else []),
             ],
         ),
         out_shape=out_shape,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,

@@ -45,13 +45,12 @@ def _paged_fused_ok(params, cfg: ModelConfig, b: int, k_pools,
     from ..kernels.fused_decode import fused_paged_decode_ok
     from .quant import QuantizedTensor
 
-    # OPT-IN (FUSED_PAGED=1): the block-table-fan megakernel measured 36.6
-    # ms/step at 7B B=64 bs=128 MB=4 vs ~10 ms per-op — the 4·RBP·MB
-    # operand fan fragments the DMA stream (Mosaic pipelining degrades
-    # with 130+ operands) and clamped dead columns re-fetch live blocks
-    # ~4x. Kept for further schedule work; the per-op paged path (paged
-    # int8 attention + int8_matmul per layer) is the production default.
-    if os.environ.get("FUSED_PAGED", "0") != "1":
+    # DEFAULT ON (round 3): the block-table manual-DMA redesign measured
+    # 13.2-16.2 ms/step at 7B B=64 (bs>=256 / bs=128) vs the per-op paged
+    # path's 17.6 — with in-place pool writes it replaces both the round-2
+    # operand fan (36.6 ms) and the +6.8 ms XLA pool-scatter. FUSED_PAGED=0
+    # opts back into the per-op path.
+    if os.environ.get("FUSED_PAGED", "1") == "0":
         return False
     if not (cfg.fused_decode and cfg.use_rope
             and jax.default_backend() == "tpu"
@@ -85,26 +84,22 @@ def _paged_decode_step_impl(params, tokens: jnp.ndarray,
 
     if _paged_fused_ok(params, cfg, b, k_pools, tables):
         # Fused whole-model paged decode: one Pallas kernel for every
-        # layer's matmuls + attention through the block-table fan
-        # (kernels/fused_decode.fused_paged_decode_step); new K/V come
-        # back (L, B, ...) and land in the pools in one in-place scatter.
+        # layer's matmuls + attention, KV gathered by block-table manual
+        # DMA (kernels/fused_decode.fused_paged_decode_step). inplace=True:
+        # the kernel writes the new K/V into the pools itself (aliased
+        # buffers) — the XLA pool-scatter it replaces measured +6.8 ms/step
+        # at 7B B=64.
         from ..kernels.fused_decode import fused_paged_decode_step
 
         cos, sin = _rope_tables(cfg)
         x0 = embed_lookup(params, tokens, cfg)
-        x_out, k_new, ksc, v_new, vsc = fused_paged_decode_step(
-            params["blocks"], x0, k_pools.q, k_pools.s, v_pools.q,
-            v_pools.s, tables, lengths, cos[lengths], sin[lengths], cfg=cfg)
-        blk = tables[jnp.arange(b), lengths // bs]
-        off = lengths % bs
-        # dims (1,2) adjacent advanced indices keep their place → (L,B,·);
-        # dims (1,3) split by a slice move to the FRONT → value (B,L,Hkv)
-        k_pools = QuantKV(
-            q=k_pools.q.at[:, blk, off].set(k_new),
-            s=k_pools.s.at[:, blk, :, off].set(ksc.transpose(1, 0, 2)))
-        v_pools = QuantKV(
-            q=v_pools.q.at[:, blk, off].set(v_new),
-            s=v_pools.s.at[:, blk, :, off].set(vsc.transpose(1, 0, 2)))
+        (x_out, _k_new, _ksc, _v_new, _vsc, kq2, ks2, vq2, vs2) = \
+            fused_paged_decode_step(
+                params["blocks"], x0, k_pools.q, k_pools.s, v_pools.q,
+                v_pools.s, tables, lengths, cos[lengths], sin[lengths],
+                cfg=cfg, inplace=True)
+        k_pools = QuantKV(q=kq2, s=ks2)
+        v_pools = QuantKV(q=vq2, s=vs2)
         logits = lm_logits(x_out[:, None, :], params, cfg)
         return logits[:, 0], k_pools, v_pools
 

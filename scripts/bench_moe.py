@@ -54,7 +54,10 @@ def main():
     # init_params_int8 is dense-only; MoE leaves come from the bf16 init +
     # quantization pass (2.4B bf16 transient fits 16 GB HBM)
     params = quantize_params_int8(init_params(jax.random.PRNGKey(0), cfg))
-    total = cfg.param_count()
+    # real parameter count from leaf sizes (ModelConfig.param_count is
+    # dense-only and undercounts the E-times expert stacks)
+    total = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(
+        params, is_leaf=lambda x: hasattr(x, "shape")))
     expert_w = (cfg.num_layers * cfg.num_experts * 3 * cfg.hidden_dim
                 * cfg.intermediate_dim)
     active = total - expert_w + expert_w * args.topk // args.experts

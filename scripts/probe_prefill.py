@@ -100,11 +100,15 @@ def main():
 
     x = jax.random.normal(jax.random.PRNGKey(1), (T, D)).astype(jnp.bfloat16)
     t0 = _t.time()
-    mm_int8(params, x)
-    print(f"[mm_int8] compile {_t.time()-t0:.0f}s", flush=True)
-    t_mm8 = min(readout_timed(lambda: mm_int8(params, x))[1]
-                for _ in range(3))
-    print(f"[mm_int8] {t_mm8*1e3:.1f} ms", flush=True)
+    try:
+        mm_int8(params, x)
+        print(f"[mm_int8] compile {_t.time()-t0:.0f}s", flush=True)
+        t_mm8 = min(readout_timed(lambda: mm_int8(params, x))[1]
+                    for _ in range(3))
+        print(f"[mm_int8] {t_mm8*1e3:.1f} ms", flush=True)
+    except Exception as e:
+        print(f"[mm_int8] FAILED: {str(e)[:120]}", flush=True)
+        t_mm8 = float("nan")
 
     # 3. matmul-only, pre-dequantized bf16 via plain jnp.dot — ONE layer's
     # weights (32 layers of bf16 don't fit HBM at 7B), scanned L times with
@@ -128,10 +132,14 @@ def main():
         return h
 
     t0 = _t.time()
-    mm_bf16(x, wq, wo_, wg, wd)
-    print(f"[mm_bf16] compile {_t.time()-t0:.0f}s", flush=True)
-    t_mmb = min(readout_timed(lambda: mm_bf16(x, wq, wo_, wg, wd))[1]
-                for _ in range(3))
+    try:
+        mm_bf16(x, wq, wo_, wg, wd)
+        print(f"[mm_bf16] compile {_t.time()-t0:.0f}s", flush=True)
+        t_mmb = min(readout_timed(lambda: mm_bf16(x, wq, wo_, wg, wd))[1]
+                    for _ in range(3))
+    except Exception as e:
+        print(f"[mm_bf16] FAILED: {str(e)[:120]}", flush=True)
+        t_mmb = float("nan")
 
     print(f"shapes: B={B} P={P} L={L} (report scales are per-{L}-layer)")
     print(f"matmul FLOP {mm_flops/1e12:.1f} TF, attn {attn_flops/1e12:.2f} "

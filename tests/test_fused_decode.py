@@ -424,3 +424,39 @@ class TestLmHeadGreedy:
         b = cached_generate(params, CFG, prompts, 8, temperature=1e-6,
                             kv_dtype=jnp.int8)
         assert np.array_equal(a.tokens, b.tokens)
+
+
+class TestPagedInplaceWrites:
+    @_slow
+    def test_inplace_pools_match_xla_scatter(self):
+        """inplace=True: the kernel's own pool writes must produce pools
+        bit-identical to the returned-new-KV + XLA scatter path."""
+        from physics_llm_inference_tpu.kernels.fused_decode import \
+            fused_paged_decode_step
+
+        setup = TestFusedPagedParity()
+        (cfg, blocks, x0, lens, tables, cos_g, sin_g,
+         slot, paged) = setup._paged_setup(seed=2)
+        B = x0.shape[0]
+        BS = paged["kq"].shape[2]
+        tb, ln = jnp.asarray(tables), jnp.asarray(lens)
+
+        x_ref, k_new, ksc, v_new, vsc = fused_paged_decode_step(
+            blocks, x0, paged["kq"], paged["ks"], paged["vq"], paged["vs"],
+            tb, ln, cos_g, sin_g, cfg=cfg, tn_target=128)
+        blk = tb[jnp.arange(B), ln // BS]
+        off = ln % BS
+        kq_ref = paged["kq"].at[:, blk, off].set(k_new)
+        ks_ref = paged["ks"].at[:, blk, :, off].set(ksc.transpose(1, 0, 2))
+        vq_ref = paged["vq"].at[:, blk, off].set(v_new)
+        vs_ref = paged["vs"].at[:, blk, :, off].set(vsc.transpose(1, 0, 2))
+
+        out = fused_paged_decode_step(
+            blocks, x0, paged["kq"], paged["ks"], paged["vq"], paged["vs"],
+            tb, ln, cos_g, sin_g, cfg=cfg, tn_target=128, inplace=True)
+        x_ip, kq2, ks2, vq2, vs2 = out[0], out[5], out[6], out[7], out[8]
+        np.testing.assert_array_equal(np.asarray(x_ip), np.asarray(x_ref))
+        for name, a, b in (("kq", kq_ref, kq2), ("ks", ks_ref, ks2),
+                           ("vq", vq_ref, vq2), ("vs", vs_ref, vs2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=name)
