@@ -91,7 +91,12 @@ def cmd_serve(args):
     if args.paged:
         from .serve.paged_engine import PagedEngineConfig, PagedInferenceEngine
 
-        block_size = 16
+        # derive geometry from the engine's fused-capable default block
+        # size (128 — the fused paged megakernel needs lane-aligned
+        # blocks); fall back to fine blocks only when the context window
+        # itself is smaller than a lane block
+        block_size = PagedEngineConfig.block_size \
+            if args.max_seq_len % PagedEngineConfig.block_size == 0 else 16
         engine = PagedInferenceEngine(params, cfg, PagedEngineConfig(
             max_batch=args.slots,
             num_blocks=args.slots * args.max_seq_len // block_size,

@@ -813,8 +813,7 @@ def _paged_kernel(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
         xout_ref[...] = x_scr[...].astype(xout_ref.dtype)
 
 
-def fused_paged_decode_ok(cfg, B: int, MB: int, BS: int,
-                          num_layers: int | None = None) -> bool:
+def fused_paged_decode_ok(cfg, B: int, MB: int, BS: int) -> bool:
     """Static eligibility of the fused paged path (mirrors the dense
     _fused_decode_ok gates): INT8 pools with TPU-tileable shapes, ring
     buffers that fit VMEM, and enough DOWN-phase steps to issue the

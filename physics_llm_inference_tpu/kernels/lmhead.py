@@ -58,6 +58,36 @@ def _lmhead_kernel(x_ref, nw_ref, w_ref, s_ref, tok_ref, xn_scr, acc_scr, *,
         tok_ref[...] = tok
 
 
+def _pick_tk(D: int, V: int) -> int:
+    """K-tile for the (TK, V) weight blocks: largest of {512,256,128} whose
+    int8 tile stays under ~5MB so double-buffering fits scoped VMEM."""
+    TK = 512
+    while TK > 128 and TK * V > (5 << 20):
+        TK //= 2
+    return TK
+
+
+def lmhead_greedy_ok(B: int, D: int, V: int, itemsize: int = 2) -> bool:
+    """Static eligibility for lmhead_greedy — callers (the forward() greedy
+    fast path, models/transformer.py) must check this BEFORE tracing the
+    kernel, since lmhead_greedy asserts its geometry at trace time.
+
+    Mirrors the kernel's constraints: D divisible by the selected K-tile
+    (lane-dim activation windows), V lane-aligned, and the scratch
+    footprint — (B, D) normalized activations + (B, V) f32 logits
+    accumulator + double-buffered (TK, V) int8 weight tiles + the (B, D)
+    input block — inside the kernel's 64MB scoped-vmem budget.
+    """
+    if V % 128 != 0:
+        return False
+    TK = _pick_tk(D, V)
+    if D % TK != 0:
+        return False
+    scratch = B * D * itemsize + B * V * 4          # xn + logits acc
+    operands = B * D * itemsize + 2 * TK * V + 4 * V  # x + 2x weight + scales
+    return scratch + operands <= (60 << 20)
+
+
 @functools.partial(jax.jit, static_argnames=("eps", "interpret"))
 def lmhead_greedy(x, norm_w, lm_q, lm_s, eps: float = 1e-5,
                   interpret: bool | None = None):
@@ -74,9 +104,7 @@ def lmhead_greedy(x, norm_w, lm_q, lm_s, eps: float = 1e-5,
     # contiguous K-blocks: tile rows are full (V,) int8 rows. TK must be a
     # lane multiple (128) — the activation slice xn[:, j·TK:(j+1)·TK] is a
     # lane-dim window
-    TK = 512
-    while TK > 128 and TK * V > (5 << 20):
-        TK //= 2
+    TK = _pick_tk(D, V)
     assert D % TK == 0, (D, TK)
     nk = D // TK
 

@@ -689,8 +689,12 @@ def forward(
         from .quant import QuantizedTensor
 
         lm = params["lm_head"]
+        from ..kernels.lmhead import lmhead_greedy_ok
+
         if (isinstance(lm, QuantizedTensor) and lm.q.ndim == 2
-                and cfg.tp_axis is None and lm.q.shape[1] % 128 == 0):
+                and cfg.tp_axis is None
+                and lmhead_greedy_ok(x.shape[0], lm.q.shape[0],
+                                     lm.q.shape[1], x.dtype.itemsize)):
             from ..kernels.lmhead import lmhead_greedy
 
             tok = lmhead_greedy(x[:, -1, :], params["norm"], lm.q, lm.s,

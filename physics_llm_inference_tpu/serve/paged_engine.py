@@ -18,6 +18,8 @@ Differences from the slot engine (serve/engine.py):
 """
 from __future__ import annotations
 
+import os
+import sys
 import threading
 import time
 from dataclasses import dataclass
@@ -45,10 +47,16 @@ class PagedEngineConfig:
     test-sized): a 64-deep decode batch with 1024-token capacity per
     request. Tests override with smaller geometries."""
 
-    num_blocks: int = 64 * 16 + 32
-    block_size: int = 64
+    # block_size=128 (not 64): the fused paged megakernel's manual-DMA
+    # scale-ring slices must be 128-lane aligned
+    # (kernels/fused_decode.fused_paged_decode_ok), so 128 is the smallest
+    # block at which the DEFAULT-ON fused path actually engages. Finer
+    # radix sharing granularity is available by overriding block_size, at
+    # the cost of falling back to the per-op paged decode.
+    num_blocks: int = 64 * 8 + 32
+    block_size: int = 128
     max_batch: int = 64                 # compiled decode width
-    max_blocks_per_request: int = 16
+    max_blocks_per_request: int = 8
     prompt_buckets: tuple = (16, 32, 64, 128, 256, 512, 1024)
     max_prefill_chunk: int = 512
     policy: SchedulingPolicy = SchedulingPolicy.FCFS
@@ -139,6 +147,26 @@ class PagedInferenceEngine:
                 cache, spec)
             self._k, self._v = put(self._k), put(self._v)
         self._trash = c.num_blocks  # physical row for dead writes
+
+        # Make the fused-gate outcome visible: if the advertised fused paged
+        # megakernel will NOT engage for this geometry (e.g. block_size not
+        # a lane multiple), say so once instead of silently running per-op.
+        if (self._kv_quantized and self.mesh is None
+                and jax.default_backend() == "tpu"
+                and os.environ.get("FUSED_PAGED", "1") != "0"):
+            from ..kernels.fused_decode import fused_paged_decode_ok
+
+            if not fused_paged_decode_ok(model_cfg, c.max_batch,
+                                         c.max_blocks_per_request,
+                                         c.block_size):
+                print(f"[paged-engine] fused paged decode DISABLED for "
+                      f"geometry (batch={c.max_batch}, "
+                      f"blocks/req={c.max_blocks_per_request}, "
+                      f"block_size={c.block_size}) — falling back to the "
+                      f"per-op paged path (~1.3x slower/step). block_size "
+                      f"must be a multiple of 128 and batch a multiple of "
+                      f"8; see PagedEngineConfig.for_fused().",
+                      file=sys.stderr)
 
         self.pool = PagedKVCache(num_blocks=c.num_blocks,
                                  block_size=c.block_size,

@@ -396,6 +396,39 @@ class TestKvPrefetch:
 
 
 class TestLmHeadGreedy:
+    def test_eligibility_gate(self):
+        """The forward() fast-path gate must reject geometries the kernel
+        would assert on (D not divisible by the selected K-tile) and
+        VMEM-overflowing batches, instead of crashing at trace time."""
+        from physics_llm_inference_tpu.kernels.lmhead import lmhead_greedy_ok
+
+        assert lmhead_greedy_ok(16, 512, 32000)          # normal
+        assert lmhead_greedy_ok(64, 4096, 32000)         # 7B headline
+        assert not lmhead_greedy_ok(16, 320, 32000)      # D % TK != 0
+        assert not lmhead_greedy_ok(16, 512, 32000 + 64)  # V not lane-mult
+        assert not lmhead_greedy_ok(512, 4096, 32000)    # (B,V) f32 > VMEM
+
+    def test_ineligible_geometry_falls_back(self):
+        """forward(greedy_head=True) on a D%128!=0 model must take the
+        argmax fallback, not crash inside lmhead_greedy (ADVICE r3)."""
+        from physics_llm_inference_tpu.models import (ModelConfig,
+                                                      init_params,
+                                                      quantize_params_int8)
+        from physics_llm_inference_tpu.models.transformer import (KVSlice,
+                                                                  forward)
+
+        cfg = ModelConfig(vocab_size=256, hidden_dim=320, num_layers=1,
+                          num_heads=5, num_kv_heads=5, intermediate_dim=512,
+                          max_seq_len=32)
+        params = quantize_params_int8(init_params(jax.random.PRNGKey(0), cfg))
+        B, S = 2, 8
+        k = jnp.zeros((cfg.num_layers, B, S, cfg.num_kv_heads, cfg.head_dim),
+                      jnp.bfloat16)
+        kv = KVSlice(k, k, 0)
+        tok_ids = jnp.ones((B, 4), jnp.int32)
+        tok, _ = forward(params, tok_ids, cfg, kv=kv, greedy_head=True)
+        assert tok.shape == (B,) and tok.dtype == jnp.int32
+
     def test_matches_argmax_over_per_op_logits(self):
         from physics_llm_inference_tpu.kernels.lmhead import lmhead_greedy
 
