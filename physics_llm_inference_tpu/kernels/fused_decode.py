@@ -76,7 +76,7 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
             *kvp_scr, cfgk):
     (L, B, S, D, F, HQ, HKV, HD, QO, TNQ, TNW, TNG, TK, RB, nq, na, nwo,
      ngu, ndn, eps, write_cache, act8, wmajor, silu_spread, kblock,
-     w4, kvp) = cfgk
+     w4, kvp, G) = cfgk
     if kvp:
         # deep-lookahead KV prefetch (see _fused_decode_step docstring):
         # ring buffers + staging windows + DMA semaphore arrays
@@ -117,13 +117,16 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
         # DOWN phase — where the MXU (M<=128 rows) is the bottleneck and
         # the DMA queue has slack — and waited at l+1's attention steps.
         def kv_read_dmas(lx, i):
+            # value rings rotate through G slots (G == na → one slot per
+            # group, full-layer lookahead); scale rings are na-deep (they
+            # double as the in-place write planes)
             rows = pl.ds(i * RB, RB)
             return (
-                pltpu.make_async_copy(kq_ref.at[lx, rows], kqb.at[i],
+                pltpu.make_async_copy(kq_ref.at[lx, rows], kqb.at[i % G],
                                       rsem.at[i, 0]),
                 pltpu.make_async_copy(ks_ref.at[lx, rows], ksb.at[i],
                                       rsem.at[i, 1]),
-                pltpu.make_async_copy(vq_ref.at[lx, rows], vqb.at[i],
+                pltpu.make_async_copy(vq_ref.at[lx, rows], vqb.at[i % G],
                                       rsem.at[i, 2]),
                 pltpu.make_async_copy(vs_ref.at[lx, rows], vsb.at[i],
                                       rsem.at[i, 3]),
@@ -147,9 +150,10 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
 
         @pl.when((l == 0) & (t == 0))
         def _():
-            # layer 0 has no earlier slack window: issue all its blocks now;
-            # they complete during the QKV phase
-            for i in range(na):
+            # layer 0 has no earlier slack window: issue its first G
+            # groups now; they complete during the QKV phase (G == na:
+            # all of them — the full-ring schedule)
+            for i in range(G):
                 for d in kv_read_dmas(0, i):
                     d.start(priority=1)
 
@@ -164,24 +168,44 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
                 for d in kv_write_dmas(i):
                     d.wait()
 
-        # issue layer l+1's blocks as early as their ring slots are free
-        # (the P_GU drain above): the GU phase, when long enough, gives the
-        # background queue the largest slack window before the deadline.
-        # (Issuing the value rings one phase earlier still, at P_WO —
-        # legal, their last read is the attention step — hung Mosaic's
-        # compiler on this stack; measured 9.40→9.32 ms came from the
-        # P_DN→P_GU move alone.)
-        issue_base = P_GU if ngu >= na else P_DN
-        for i_ in range(na):
-            @pl.when((l < L - 1) & (t == issue_base + i_))
-            def _(i=i_):
-                # background priority: the weight pipeline only has one
-                # grid step of lookahead, so a foreground 4MB KV copy ahead
-                # of the next weight tile stalls the MXU; at priority 1 the
-                # DMA engine services weight fetches first and fills the
-                # matmul phases' DMA slack with KV
-                for d in kv_read_dmas(l + 1, i):
-                    d.start(priority=1)
+        if G == na:
+            # full rings: issue layer l+1's blocks as early as their ring
+            # slots are free (the P_GU drain above): the GU phase, when
+            # long enough, gives the background queue the largest slack
+            # window before the deadline. (Issuing the value rings one
+            # phase earlier still, at P_WO — legal, their last read is the
+            # attention step — hung Mosaic's compiler on this stack;
+            # measured 9.40→9.32 ms came from the P_DN→P_GU move alone.)
+            issue_base = P_GU if ngu >= na else P_DN
+            for i_ in range(na):
+                @pl.when((l < L - 1) & (t == issue_base + i_))
+                def _(i=i_):
+                    # background priority: the weight pipeline only has one
+                    # grid step of lookahead, so a foreground 4MB KV copy
+                    # ahead of the next weight tile stalls the MXU; at
+                    # priority 1 the DMA engine services weight fetches
+                    # first and fills the matmul phases' DMA slack with KV
+                    for d in kv_read_dmas(l + 1, i):
+                        d.start(priority=1)
+        else:
+            # rotating rings (na % G == 0): slot j % G frees right after
+            # its previous occupant's attention step, so each group's
+            # refill is issued ONE step after that — G-1 attention steps
+            # of slack instead of a full layer. Consumption order of slot
+            # s within a layer: groups s, s+G, ..., na-G+s.
+            for j_ in range(G, na):
+                # same-layer groups >= G: previous occupant is group j-G
+                @pl.when(t == P_ATTN + (j_ - G) + 1)
+                def _(j=j_):
+                    for d in kv_read_dmas(l, j):
+                        d.start(priority=1)
+            for j_ in range(G):
+                # next layer's first G groups: slot j's last occupant this
+                # layer is group na-G+j
+                @pl.when((l < L - 1) & (t == P_ATTN + (na - G + j_) + 1))
+                def _(j=j_):
+                    for d in kv_read_dmas(l + 1, j):
+                        d.start(priority=1)
 
     def _qrow(x_f32, width):
         # dynamic per-row (per-token) activation quantization for the W8A8
@@ -302,8 +326,8 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
             # drain the prefetch issued one layer ago, then read the ring
             for d in kv_read_dmas(l, i):
                 d.wait()
-            kq = kqb[i]                      # (RB, S, HKV·HD) int8
-            vq = vqb[i]
+            kq = kqb[i % G]                  # (RB, S, HKV·HD) int8
+            vq = vqb[i % G]
             ks = ksb[i]                      # (RB, HKV, S) f32
             vs = vsb[i]
         else:
@@ -357,8 +381,8 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
             # back to the aliased HBM buffers (drained at P_GU)
             slot = slot_ref[0]
             base = (slot // 8) * 8
-            win_k = kqb[i, :, pl.ds(base, 8), :]          # (RB, 8, HKV·HD)
-            win_v = vqb[i, :, pl.ds(base, 8), :]
+            win_k = kqb[i % G, :, pl.ds(base, 8), :]      # (RB, 8, HKV·HD)
+            win_v = vqb[i % G, :, pl.ds(base, 8), :]
             sel = (lax.broadcasted_iota(jnp.int32, (RB, 8, 1), 1) + base
                    == slot)
             k8 = k8_scr[rows, :][:, None, :]              # (RB, 1, HKV·HD)
@@ -499,7 +523,7 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
         xout_ref[...] = x_scr[...].astype(xout_ref.dtype)
 
 
-def _paged_kernel(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
+def _paged_kernel_r4(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
                   wqkv_ref, sqkv_ref, wo_ref, swo_ref, wgu_ref, sgu_ref,
                   wdn_ref, sdn_ref, cos_ref, sin_ref, lens_ref,
                   kq_any, ks_any, vq_any, vs_any,
@@ -572,21 +596,26 @@ def _paged_kernel(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
         return dmas
 
     def kv_block_dmas(lx, i):
-        """All copies for request block i of layer lx: 4 streams ×
-        RBP requests × MB table columns, each a single pool block."""
+        """Copies for request block i of layer lx: 4 streams × RBP
+        requests × LIVE table columns, each a single pool block. Returns
+        (live, dma) pairs — a column is live iff c <= the destination
+        block index (lens // BS; tables cover lengths+1, and at a block
+        boundary the write path composes its 8-slot window from ring
+        region lens // BS, which must hold the DESTINATION block's real
+        content). Dead columns (c > last) are SKIPPED at both start and
+        wait — their ring regions hold stale bytes of an earlier layer,
+        which the kpos >= lens attention mask kills — saving up to MB×
+        re-fetch at partial occupancy (round 4; round 3 clamped dead
+        columns to the last live block and re-fetched it MB-last times)."""
         dmas = []
         for rr in range(RBP):
             r = i * RBP + rr
-            # clamp to the block where the new token WILL land (tables
-            # cover lengths+1): at a block boundary (lens % BS == 0) the
-            # write path composes its 8-slot window from ring region
-            # lens // BS, which must hold the DESTINATION block's real
-            # content for the write-back to be exact
             last = lens_sp_ref[r] // BS
             for c in range(MB):
+                live = c <= last
                 idx = tables_ref[r, jnp.minimum(c, last)]
                 cols = pl.ds(c * BS, BS)
-                dmas.extend([
+                dmas.extend((live, d) for d in [
                     pltpu.make_async_copy(kq_any.at[lx, idx],
                                           kqb.at[i, rr, cols],
                                           rsem.at[i, 0]),
@@ -605,10 +634,19 @@ def _paged_kernel(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
     @pl.when((l == 0) & (t == 0))
     def _():
         x_scr[:] = x0_ref[...].astype(jnp.float32)
+        # dead columns are never DMA'd, so their scale-ring regions would
+        # otherwise hold uninitialized VMEM: a NaN there survives the
+        # attention mask on the VALUE side (p=0 times scale=NaN). Zero the
+        # f32 scale rings once per step (~2 MB VPU stores; the int8 value
+        # rings can hold any stale bytes — they only meet masked/zero p).
+        ksb[...] = jnp.zeros_like(ksb)
+        vsb[...] = jnp.zeros_like(vsb)
         # layer 0 has no earlier slack window: issue its blocks now
         for i in range(na):
-            for d in kv_block_dmas(0, i):
-                d.start(priority=1)
+            for live, d in kv_block_dmas(0, i):
+                @pl.when(live)
+                def _(d=d):
+                    d.start(priority=1)
 
     if inplace:
         @pl.when(t == P_GU)
@@ -626,8 +664,10 @@ def _paged_kernel(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
             # background priority: foreground copies would delay the
             # 1-step-lookahead weight tiles and stall the MXU (see the
             # dense kvp path)
-            for d in kv_block_dmas(l + 1, i):
-                d.start(priority=1)
+            for live, d in kv_block_dmas(l + 1, i):
+                @pl.when(live)
+                def _(d=d):
+                    d.start(priority=1)
 
     def _mm(a, w_tile):
         wdims = ((1,), (1,)) if wmajor else ((1,), (0,))
@@ -694,9 +734,12 @@ def _paged_kernel(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
         q = q_scr[rows, :].astype(jnp.float32).reshape(RBP, HQ, HD)
         kcur = kcur_scr[rows, :].astype(jnp.float32).reshape(RBP, HKV, HD)
         vcur = vcur_scr[rows, :].astype(jnp.float32).reshape(RBP, HKV, HD)
-        # drain the block-table prefetch issued one layer ago
-        for d in kv_block_dmas(l, i):
-            d.wait()
+        # drain the block-table prefetch issued one layer ago (same live
+        # predicates as the issue site — lens are step-constant)
+        for live, d in kv_block_dmas(l, i):
+            @pl.when(live)
+            def _(d=d):
+                d.wait()
         kq = kqb[i]                                       # (RBP, SC, flat)
         vq = vqb[i]
         ks = ksb[i]                                       # (RBP, HKV, SC)
@@ -745,7 +788,18 @@ def _paged_kernel(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
             # new token, update the scale plane's slot lane in the ring,
             # and DMA both back to the aliased pool buffers (drained at
             # P_GU). Kills the XLA pool-scatter that measured +6.8 ms/step
-            # at 7B.
+            # at 7B. The new-token rows/scales are loaded as ONE
+            # (RBP, ...) group block at offset i·RBP — a multiple of 8, so
+            # Mosaic can prove sublane alignment; single-row loads at the
+            # dynamic per-request index r failed to compile on device
+            # ("cannot statically prove that index in dimension 0 is a
+            # multiple of 8", caught by the round-4 verify drive — the
+            # interpret-mode tests never see Mosaic's tiling rules).
+            rows_g = pl.ds(i * RBP, RBP)
+            k8g = k8_scr[rows_g, :]                       # (RBP, flat)
+            v8g = v8_scr[rows_g, :]
+            kslg = kscl_scr[rows_g, :]                    # (RBP, HKV)
+            vslg = vscl_scr[rows_g, :]
             for rr in range(RBP):
                 r = i * RBP + rr
                 off = lens_sp_ref[r]
@@ -756,14 +810,14 @@ def _paged_kernel(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
                 win_v = vqb[i, rr, pl.ds(ring0, 8), :]
                 sel = (lax.broadcasted_iota(jnp.int32, (8, 1), 0) + base8
                        == off % BS)
-                k8r = k8_scr[pl.ds(r, 1), :]              # (1, flat)
-                v8r = v8_scr[pl.ds(r, 1), :]
+                k8r = k8g[rr:rr + 1, :]                   # (1, flat)
+                v8r = v8g[rr:rr + 1, :]
                 kwst[i, rr] = jnp.where(sel, k8r, win_k)
                 vwst[i, rr] = jnp.where(sel, v8r, win_v)
                 lane = lax.broadcasted_iota(jnp.int32, (HKV, BS), 1)
                 cols = pl.ds(c * BS, BS)
-                ksl = kscl_scr[pl.ds(r, 1), :].reshape(HKV, 1)
-                vsl = vscl_scr[pl.ds(r, 1), :].reshape(HKV, 1)
+                ksl = kslg[rr:rr + 1, :].reshape(HKV, 1)
+                vsl = vslg[rr:rr + 1, :].reshape(HKV, 1)
                 ksb[i, rr, :, cols] = jnp.where(lane == off % BS, ksl,
                                                 ksb[i, rr, :, cols])
                 vsb[i, rr, :, cols] = jnp.where(lane == off % BS, vsl,
@@ -903,7 +957,7 @@ def fused_paged_decode_step(params, x, kq_pool, ks_pool, vq_pool, vs_pool,
     cfgk = (L, B, 0, D, F, HQ, HKV, HD, QO, TNQ, TNW, TNG, TK, RBP, MB, BS,
             nq, na, nwo, ngu, ndn, cfg.norm_eps, wmajor, silu_spread,
             inplace)
-    kernel = functools.partial(_paged_kernel, cfgk=cfgk)
+    kernel = functools.partial(_paged_kernel_r4, cfgk=cfgk)
 
     def win(lo, hi, maker):
         return lambda l, t, tb, ln: maker(l, jnp.clip(t - lo, 0, hi - lo - 1))
@@ -1064,6 +1118,7 @@ def fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
     QO = (cfg.num_heads + 2 * cfg.num_kv_heads) * cfg.head_dim
     wmajor = (not w4 and params["wqkv"].q.shape[1] == QO
               and QO != cfg.hidden_dim)
+    kvp_slots = int(os.environ.get("FUSED_KVP_SLOTS", "0")) or None
     return _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot,
                               valid_from, rope_cos_g, rope_sin_g, cfg=cfg,
                               slot=slot, write_cache=write_cache,
@@ -1071,7 +1126,7 @@ def fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
                               rb_bytes=rb_bytes, wmajor=wmajor,
                               silu_spread=silu_spread,
                               kblock=(kblock and not wmajor) or w4, w4=w4,
-                              kv_prefetch=kv_prefetch)
+                              kv_prefetch=kv_prefetch, kvp_slots=kvp_slots)
 
 
 def to_nmajor(blocks: dict) -> dict:
@@ -1096,7 +1151,7 @@ def to_nmajor(blocks: dict) -> dict:
                                              "interpret", "tn_target",
                                              "rb_bytes", "wmajor",
                                              "silu_spread", "kblock", "w4",
-                                             "kv_prefetch"))
+                                             "kv_prefetch", "kvp_slots"))
 def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
                        rope_cos_g, rope_sin_g, cfg, slot=None,
                        write_cache: bool = False,
@@ -1104,7 +1159,8 @@ def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
                        tn_target: int = 512, rb_bytes: int = 1 << 20,
                        wmajor: bool = False, silu_spread: bool = True,
                        kblock: bool = False, w4: bool = False,
-                       kv_prefetch: bool = False):
+                       kv_prefetch: bool = False,
+                       kvp_slots: int | None = None):
     """One full decode step over all layers.
 
     params: the model's quantized "blocks" dict (stacked QuantizedTensors:
@@ -1187,26 +1243,42 @@ def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
     # DOWN phase (ndn >= na), and a WHOLE working set (rings + staging +
     # activation scratch + weight double-buffers) under the scoped-VMEM
     # limit — the ring alone passing cost a 104 MB > 100 MB compile OOM at
-    # B=128/w4.
-    kvp_vmem = (2 * na * RB * S * flat_hd        # int8 value rings
-                + 2 * na * RB * HKV * S * 4      # f32 scale rings
-                + 2 * na * RB * 8 * flat_hd)     # int8 staging windows
+    # B=128/w4. When full na-deep value rings don't fit (B=128: 67 MB),
+    # the rings ROTATE through G < na slots (round 4): group j reads slot
+    # j % G, refilled as soon as its previous occupant's attention step
+    # has consumed it — shallower lookahead (G-1 attention steps instead
+    # of a full layer) in exchange for na/G× less ring VMEM. Scale rings
+    # and staging windows stay na-deep (they also carry the in-place
+    # cache-write planes for the whole attention phase).
     act_vmem = (B * D * 6                        # x f32 + h bf16
                 + B * QO * (4 if (kblock or w4) else 2)   # qkv acc
                 + B * 2 * F * (4 if (kblock or w4) else 2)  # gate|up acc
                 + B * HQ * HD * 4                # q + attn bf16
                 + B * flat_hd * 7                # kcur/vcur bf16 + int8
                 + B * max(D, HQ * HD, F))        # act8 row
-    kvp = (kv_prefetch and write_cache and not act8
-           and ndn >= na and S % 128 == 0
-           and kvp_vmem + act_vmem + (20 << 20) <= (98 << 20))
+    kvp, G = False, na
+    if kv_prefetch and write_cache and not act8 and ndn >= na \
+            and S % 128 == 0:
+        slot_opts = ((kvp_slots,) if kvp_slots
+                     else (na, na // 2, na // 4))
+        for g in slot_opts:
+            # g == na is the full-ring schedule (any na, incl. 1);
+            # rotation needs >= 2 slots and a slot count dividing na
+            if g != na and (g < 2 or na % g):
+                continue
+            kvp_vmem = (2 * g * RB * S * flat_hd      # int8 value rings
+                        + 2 * na * RB * HKV * S * 4   # f32 scale rings
+                        + 2 * na * RB * 8 * flat_hd)  # int8 staging
+            if kvp_vmem + act_vmem + (20 << 20) <= (98 << 20):
+                kvp, G = True, g
+                break
 
     wqkv, wo = params["wqkv"], params["wo"]
     wgu, wdn = params["w_gate_up"], params["w_down"]
 
     cfgk = (L, B, S, D, F, HQ, HKV, HD, QO, TNQ, TNW, TNG, TK, RB, nq, na,
             nwo, ngu, ndn, cfg.norm_eps, write_cache, act8, wmajor,
-            silu_spread, kblock, w4, kvp)
+            silu_spread, kblock, w4, kvp, G)
     kernel = functools.partial(_kernel, cfgk=cfgk)
 
     P_ATTN, P_WO = nq, nq + na
@@ -1421,8 +1493,8 @@ def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
                 pltpu.VMEM((B, max(D, HQ * HD, F)), jnp.int8),  # act int8
                 pltpu.VMEM((B, 1), jnp.float32),        # act row scale
                 *([
-                    pltpu.VMEM((na, RB, S, flat_hd), jnp.int8),   # kq ring
-                    pltpu.VMEM((na, RB, S, flat_hd), jnp.int8),   # vq ring
+                    pltpu.VMEM((G, RB, S, flat_hd), jnp.int8),    # kq ring
+                    pltpu.VMEM((G, RB, S, flat_hd), jnp.int8),    # vq ring
                     pltpu.VMEM((na, RB, HKV, S), jnp.float32),    # ks ring
                     pltpu.VMEM((na, RB, HKV, S), jnp.float32),    # vs ring
                     pltpu.VMEM((na, RB, 8, flat_hd), jnp.int8),   # k stage

@@ -107,6 +107,10 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
             ),
             out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
             cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(
+                # prefill-sized (bm=1024) x/out double-buffers + the f32
+                # accumulator exceed the 16MB default scoped-vmem limit
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
         )(lidx, x, w_q, scale)
 
@@ -122,5 +126,7 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, w_q, scale)

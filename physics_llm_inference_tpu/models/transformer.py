@@ -110,10 +110,22 @@ def _linear(x: jnp.ndarray, w) -> jnp.ndarray:
     # with ~2-4 MB weight DMAs keep HBM at full bandwidth. Critically, bm
     # covers ALL of m for decode-sized batches — every extra m-block re-streams
     # the whole weight matrix from HBM (batch 32 with bm=8 cost 4x traffic).
-    bm = m if (m <= 512 and m % 8 == 0) else _pick_block(m, (512, 256, 8))
+    # PREFILL (m >= 2048): every m-block also re-DEQUANTIZES the whole
+    # weight matrix (VPU passes between the MXU dots), so larger bm cuts
+    # both the re-stream and the re-dequant (round 4,
+    # scripts/probe_prefill.py attribution in docs/PERF.md).
+    bm = (m if (m <= 512 and m % 8 == 0)
+          else _pick_block(m, (1024, 512, 256, 8) if m >= 2048
+                           else (512, 256, 8)))
     bk = _pick_block(k, (2048, 1024, 512, 256, 128))
     bn = _pick_block(n, (1024, 512, 256, 128))
-    use_kernel = (jax.default_backend() == "tpu"
+    # PREFILL (m >= 2048) goes to XLA's native dot with on-the-fly int8
+    # dequant: at these shapes the matmul is MXU-bound and XLA runs it at
+    # ~97% of peak bf16 vs the Pallas kernel's in-VMEM per-tile dequant
+    # path at ~69% (round-4 prefill attribution, scripts/probe_prefill.py
+    # → docs/PERF.md) — the kernel's halved weight DMA only matters when
+    # the stream is memory-bound, i.e. decode-sized m.
+    use_kernel = (jax.default_backend() == "tpu" and m < 2048
                   and bm is not None and m % bm == 0
                   and bk is not None and bn is not None)
     if use_kernel:
@@ -437,9 +449,12 @@ def block_forward(
     # caches. s is static under jit, so this resolves at trace time.
     impl = cfg.attention_impl
     if impl == "auto":
-        # measured crossover (scripts/probe_flash_paged.py, v5e): XLA dense
-        # wins below ~1k total context (flash pays fixed grid overheads),
-        # flash wins 2.6-5.5x above. Dense materializes (B, Hq, Sq, Sk)
+        # measured crossover (scripts/probe_flash_paged.py, v5e, round-4
+        # mask-free-interior kernel): flash beats XLA dense from ~512
+        # total context up (1.4-1.6x at 512, 2.5-5.5x beyond — both the
+        # B=4 square sweep and the B=64 rectangular prefill shapes);
+        # below that the per-grid-step overheads dominate (B=64
+        # Sq=128/Sk=256: 0.76x). Dense materializes (B, Hq, Sq, Sk)
         # scores, so force flash once that exceeds a VMEM-friendly budget
         # regardless of the crossover.
         if kv is not None:
@@ -452,7 +467,7 @@ def block_forward(
             sk = s
         score_mb = b * cfg.num_heads * s * sk * 2 / (1 << 20)
         impl = "flash" if (on_tpu and s >= 128
-                           and (max(s, sk) >= 1024 or score_mb > 512)) \
+                           and (max(s, sk) >= 512 or score_mb > 512)) \
             else "dense"
 
     if kv is None:

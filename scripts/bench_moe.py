@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--expert-ff", type=int, default=2816)
     ap.add_argument("--prompt", type=int, default=128)
     ap.add_argument("--decode", type=int, default=64)
+    ap.add_argument("--no-fused", action="store_true",
+                    help="force the per-op decode path (dense configs "
+                         "otherwise take the megakernel; MoE is always "
+                         "per-op) — isolates the MoE routed-FFN premium "
+                         "vs a dense model of equal ACTIVE params")
     args = ap.parse_args()
 
     from physics_llm_inference_tpu.models import (ModelConfig, init_params,
@@ -50,7 +55,8 @@ def main():
                       intermediate_dim=args.expert_ff,
                       num_experts=args.experts,
                       num_experts_per_tok=args.topk,
-                      expert_capacity_factor=1.25)
+                      expert_capacity_factor=1.25,
+                      fused_decode=not args.no_fused)
     # init_params_int8 is dense-only; MoE leaves come from the bf16 init +
     # quantization pass (2.4B bf16 transient fits 16 GB HBM)
     params = quantize_params_int8(init_params(jax.random.PRNGKey(0), cfg))
@@ -60,7 +66,8 @@ def main():
         params, is_leaf=lambda x: hasattr(x, "shape")))
     expert_w = (cfg.num_layers * cfg.num_experts * 3 * cfg.hidden_dim
                 * cfg.intermediate_dim)
-    active = total - expert_w + expert_w * args.topk // args.experts
+    active = total - expert_w + (expert_w * args.topk // args.experts
+                                 if args.experts else 0)
     print(f"MoE: {total/1e9:.2f}B total / {active/1e9:.2f}B active params "
           f"({args.experts} experts top-{args.topk}), INT8 W+KV, "
           f"batch {args.batch}", file=sys.stderr)

@@ -1,0 +1,107 @@
+"""Serving-level benchmark: 7B INT8 through the PAGED engine (radix on,
+decode horizon, fused paged megakernel geometry) — the production
+configuration, measured with the ch10-comparable harness
+(ref ch10/benchmark.py:86-169: closed-loop load at fixed concurrency,
+TTFT & E2E percentiles, requests/s, tokens/s).
+
+A quarter of the requests share a 64-token prefix in groups of 4 so the
+radix cache sees realistic prefix reuse (system-prompt pattern).
+
+Usage: python scripts/bench_serving7b.py [--requests 128] [--concurrency 64]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=128)
+    ap.add_argument("--concurrency", type=int, default=64)
+    ap.add_argument("--prompt", type=int, default=128)
+    ap.add_argument("--decode", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--horizon", type=int, default=8)
+    args = ap.parse_args()
+
+    from physics_llm_inference_tpu.bench.harness import (BenchmarkConfig,
+                                                         run_benchmark)
+    from physics_llm_inference_tpu.models import ModelConfig
+    from physics_llm_inference_tpu.models.quant import init_params_int8
+    from physics_llm_inference_tpu.serve.engine import GenerationRequest
+    from physics_llm_inference_tpu.serve.http_server import ServingLoop
+    from physics_llm_inference_tpu.serve.paged_engine import (
+        PagedEngineConfig, PagedInferenceEngine)
+
+    cfg = ModelConfig(vocab_size=32000, max_seq_len=512, dtype="bfloat16",
+                      hidden_dim=4096, num_layers=32, num_heads=32,
+                      num_kv_heads=8, intermediate_dim=11008)
+    print("[serving7b] init 7B int8 params...", file=sys.stderr, flush=True)
+    params = init_params_int8(jax.random.PRNGKey(0), cfg)
+
+    pc = PagedEngineConfig.for_fused(
+        max_batch=args.batch, max_seq_len=512, kv_dtype="int8",
+        decode_horizon=args.horizon, enable_radix=True)
+    engine = PagedInferenceEngine(params, cfg, pc)
+    loop = ServingLoop(engine)
+
+    rng = np.random.default_rng(0)
+    shared = [list(rng.integers(1, cfg.vocab_size, 64)) for _ in range(8)]
+
+    def prompt_fn(i):
+        # every 4th request block shares one of 8 64-token prefixes
+        if i % 4 == 0:
+            pre = shared[(i // 4) % len(shared)]
+            return pre + list(rng.integers(1, cfg.vocab_size,
+                                           args.prompt - 64))
+        return list(rng.integers(1, cfg.vocab_size, args.prompt))
+
+    def generate_fn(prompt_tokens, max_tokens):
+        rid = engine.submit_request(GenerationRequest(
+            prompt_tokens=prompt_tokens, max_tokens=max_tokens,
+            temperature=0.0))
+        loop.notify()
+        while True:
+            res = engine.get_result(rid)
+            if res is not None:
+                return {"tokens": res.tokens, "ttft_s": res.ttft_s}
+            time.sleep(0.002)
+
+    bc = BenchmarkConfig(num_requests=args.requests,
+                         concurrency=args.concurrency,
+                         warmup_requests=max(2, args.concurrency // 2),
+                         prompt_len=args.prompt, max_tokens=args.decode)
+    t0 = time.time()
+    print("[serving7b] warmup (compiles prefill buckets + decode)...",
+          file=sys.stderr, flush=True)
+    result = run_benchmark(bc, generate_fn, prompt_fn)
+    print(f"[serving7b] total wall (incl warmup/compile) "
+          f"{time.time()-t0:.0f}s", file=sys.stderr, flush=True)
+    loop.shutdown()
+
+    stats = engine.stats()
+    out = result.to_dict()
+    out.update({
+        "metric": "serving_7b_int8_paged",
+        "radix_hit_tokens": stats["radix_hit_tokens"],
+        "preemptions": stats["scheduler"].get("preemptions", 0),
+        "config": {"batch": args.batch, "block_size": pc.block_size,
+                   "horizon": args.horizon,
+                   "concurrency": args.concurrency,
+                   "requests": args.requests, "prompt": args.prompt,
+                   "decode": args.decode},
+    })
+    print(json.dumps(out))
+    print(result.summary(), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,9 @@ def flash_sweep(reps=8):
           flush=True)
     B, HQ, HKV, D = 4, 32, 8, 128
     for seq in (512, 1024, 2048, 4096, 8192):
+        # short sequences need more chained reps to clear the ~25 ms relay
+        # readout overhead (division hit 0 at S=512 with reps=8, round 4)
+        reps = max(8, (2048 * 8) // seq)
         ks = jax.random.split(jax.random.PRNGKey(0), 3)
         q = jax.random.normal(ks[0], (B, HQ, seq, D), jnp.bfloat16)
         k = jax.random.normal(ks[1], (B, HKV, seq, D), jnp.bfloat16)
@@ -66,7 +69,7 @@ def flash_sweep(reps=8):
             for _ in range(3):
                 out, dt = readout_timed(lambda: run(q, k, v))
                 times.append(dt)
-            per = min(times) / reps
+            per = max(min(times) / reps, 1e-9)
             row[name] = (per, flops / per / 1e12)
         f_ms, f_tf = row["flash"]
         msg = f"S={seq:5d}  flash {f_ms*1e3:7.2f} ms ({f_tf:5.1f} TF)"
@@ -77,7 +80,56 @@ def flash_sweep(reps=8):
         print(msg, flush=True)
 
 
-def paged_probe(B=64, BS=128, MB=4, steps=32):
+def prefill_attn_probe(reps=16):
+    """Flash vs XLA dense at the HEADLINE PREFILL attention shape —
+    B=64, Sq=128 new tokens attending a 256-slot cache at q_offset=128
+    (rectangular causal). The round-2 crossover (max(Sq,Sk) >= 1024) was
+    tuned on square B=4 shapes; at B=64 the dense path materializes
+    B·Hq·Sq·Sk scores = 128 MB/layer, which flash keeps in VMEM."""
+    from physics_llm_inference_tpu.kernels.flash_attention import \
+        flash_attention
+    from physics_llm_inference_tpu.ops.gqa import grouped_sdpa
+    from physics_llm_inference_tpu.utils.timing import readout_timed
+
+    B, HQ, HKV, D = 64, 32, 8, 128
+    print("== prefill-shaped attention (B=64, rect causal) ==", flush=True)
+    for sq, sk in ((128, 256), (128, 512), (512, 512)):
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(ks[0], (B, HQ, sq, D), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (B, HKV, sk, D), jnp.bfloat16)
+        v = jax.random.normal(ks[2], (B, HKV, sk, D), jnp.bfloat16)
+        qoff = sk - sq
+        iq = qoff + jnp.arange(sq)
+        ik = jnp.arange(sk)
+        mask = (ik[None, :] <= iq[:, None])[None, None]
+
+        def chained(fn):
+            @jax.jit
+            def run(q, k, v):
+                def step(qq, i):
+                    o = fn(qq, k, v)
+                    return (o * 1e-3 + qq * 0.999).astype(qq.dtype), None
+                qq, _ = jax.lax.scan(step, q, jnp.arange(reps))
+                return qq
+            return run
+
+        row = {}
+        for name, fn in (
+                ("flash", lambda q, k, v: flash_attention(
+                    q, k, v, q_offset=qoff, causal=True)),
+                ("xla", lambda q, k, v: grouped_sdpa(
+                    q, k, v, mask=mask[:, :, None]))):
+            run = chained(fn)
+            readout_timed(lambda: run(q, k, v))
+            times = [readout_timed(lambda: run(q, k, v))[1]
+                     for _ in range(3)]
+            row[name] = min(times) / reps
+        print(f"Sq={sq:4d} Sk={sk:4d}  flash {row['flash']*1e3:6.3f} ms  "
+              f"xla {row['xla']*1e3:6.3f} ms  "
+              f"speedup {row['xla']/row['flash']:4.2f}x", flush=True)
+
+
+def paged_probe(B=64, BS=128, MB=4, steps=32, lens=128):
     from physics_llm_inference_tpu.models import ModelConfig
     from physics_llm_inference_tpu.models.quant import init_params_int8
     from physics_llm_inference_tpu.kernels.fused_decode import \
@@ -105,21 +157,29 @@ def paged_probe(B=64, BS=128, MB=4, steps=32):
     tables = jnp.asarray(
         np.random.default_rng(0).permutation(B * MB).reshape(B, MB) + 1,
         jnp.int32)
-    lens0 = jnp.full((B,), 128, jnp.int32)
+    lens0 = jnp.full((B,), lens, jnp.int32)
     x0 = jax.random.normal(rng, (B, cfg.hidden_dim)).astype(jnp.bfloat16)
     cos_t, sin_t = rope_frequencies(cfg.head_dim, cfg.max_seq_len,
                                     cfg.rope_theta)
 
-    def make_run(scatter: bool):
+    def make_run(mode: str):
+        scatter = mode == "scatter"
+
         @jax.jit
         def run(blocks, x0, kq, ks, vq, vs):
             def step(carry, i):
                 x, kq, ks, vq, vs = carry
-                lens = lens0 + (i if scatter else 0)
+                lens = lens0 + (i if mode != "kernel" else 0)
                 cos_g, sin_g = cos_t[lens], sin_t[lens]
-                x_out, k_new, ksc, v_new, vsc = fused_paged_decode_step(
-                    blocks, x, kq, ks, vq, vs, tables, lens, cos_g, sin_g,
-                    cfg=cfg)
+                if mode == "inplace":
+                    (x_out, k_new, ksc, v_new, vsc, kq, ks, vq,
+                     vs) = fused_paged_decode_step(
+                        blocks, x, kq, ks, vq, vs, tables, lens, cos_g,
+                        sin_g, cfg=cfg, inplace=True)
+                else:
+                    x_out, k_new, ksc, v_new, vsc = fused_paged_decode_step(
+                        blocks, x, kq, ks, vq, vs, tables, lens, cos_g,
+                        sin_g, cfg=cfg)
                 if scatter:
                     blk = tables[jnp.arange(B), lens // BS]
                     off = lens % BS
@@ -146,12 +206,13 @@ def paged_probe(B=64, BS=128, MB=4, steps=32):
     wb = sum(t.q.nbytes + t.s.nbytes for t in
              (blocks["wqkv"], blocks["wo"], blocks["w_gate_up"],
               blocks["w_down"]))
-    # live KV bytes actually attended (~192 avg of 512-slot capacity)
-    kvb = 2 * B * 192 * flat
+    # live KV bytes actually attended (avg over the chained steps)
+    kvb = 2 * B * (lens + steps // 2) * flat
     floor = (wb + kvb) / get_tpu_spec().hbm_bandwidth
-    print(f"== paged megakernel 7B B={B} bs={BS} MB={MB} ==", flush=True)
-    for scatter in (False, True):
-        run = make_run(scatter)
+    print(f"== paged megakernel 7B B={B} bs={BS} MB={MB} lens={lens} ==",
+          flush=True)
+    for mode in ("kernel", "inplace", "scatter"):
+        run = make_run(mode)
         t0 = time.time()
         out, _ = readout_timed(lambda: run(blocks, x0, kq, ks, vq, vs))
         c = time.time() - t0
@@ -160,7 +221,7 @@ def paged_probe(B=64, BS=128, MB=4, steps=32):
             out, dt = readout_timed(lambda: run(blocks, x0, kq, ks, vq, vs))
             times.append(dt)
         per = min(times) / steps
-        print(f"scatter={scatter}  compile {c:5.1f}s  "
+        print(f"mode={mode:8s} compile {c:5.1f}s  "
               f"per-step {per*1e3:.3f} ms  (floor ~{floor*1e3:.3f} ms -> "
               f"{floor/per*100:.1f}% of SoL, {B/per:.0f} tok/s)", flush=True)
 
@@ -235,13 +296,18 @@ if __name__ == "__main__":
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default="",
-                    choices=["", "flash", "paged", "perop"])
+                    choices=["", "flash", "paged", "perop", "prefill"])
     ap.add_argument("--bs", type=int, default=128, help="paged block size")
     ap.add_argument("--mb", type=int, default=4, help="blocks per request")
+    ap.add_argument("--lens", type=int, default=128,
+                    help="initial per-request KV length (occupancy = "
+                         "lens / (bs*mb))")
     a = ap.parse_args()
     if a.only in ("", "flash"):
         flash_sweep()
+    if a.only in ("", "prefill"):
+        prefill_attn_probe()
     if a.only in ("", "paged"):
-        paged_probe(BS=a.bs, MB=a.mb)
+        paged_probe(BS=a.bs, MB=a.mb, lens=a.lens)
     if a.only in ("", "perop"):
         paged_perop_probe(BS=a.bs, MB=a.mb)

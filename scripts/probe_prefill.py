@@ -34,7 +34,13 @@ def main():
     ap.add_argument("--layers", type=int, default=8,
                     help="timed layers (scaled up to 32 in the report; "
                          "8 keeps compile+run short)")
+    ap.add_argument("--arms", default="full,int8,bf16",
+                    help="comma list of arms to run (the m=8192 Pallas "
+                         "int8 arm took a 40-min remote compile that "
+                         "broke the relay transport in round 4 — skip it "
+                         "with --arms full,bf16)")
     args = ap.parse_args()
+    arms = set(args.arms.split(","))
 
     from physics_llm_inference_tpu.models import ModelConfig
     from physics_llm_inference_tpu.models.quant import init_params_int8
@@ -101,6 +107,8 @@ def main():
     x = jax.random.normal(jax.random.PRNGKey(1), (T, D)).astype(jnp.bfloat16)
     t0 = _t.time()
     try:
+        if "int8" not in arms:
+            raise RuntimeError("skipped (--arms)")
         mm_int8(params, x)
         print(f"[mm_int8] compile {_t.time()-t0:.0f}s", flush=True)
         t_mm8 = min(readout_timed(lambda: mm_int8(params, x))[1]
@@ -133,6 +141,8 @@ def main():
 
     t0 = _t.time()
     try:
+        if "bf16" not in arms:
+            raise RuntimeError("skipped (--arms)")
         mm_bf16(x, wq, wo_, wg, wd)
         print(f"[mm_bf16] compile {_t.time()-t0:.0f}s", flush=True)
         t_mmb = min(readout_timed(lambda: mm_bf16(x, wq, wo_, wg, wd))[1]

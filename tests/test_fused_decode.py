@@ -394,6 +394,37 @@ class TestKvPrefetch:
         for name, xa, xb in zip(["x", "kq", "ks", "vq", "vs"], a, b):
             assert np.array_equal(np.asarray(xa), np.asarray(xb)), name
 
+    def test_kvp_rotating_slots_bit_identical(self):
+        """Rotating value rings (G < na, round 4 — the B=128 VMEM shape)
+        must produce the same step as full rings and the v1 path. S=128
+        satisfies the kvp gate's lane-alignment; rb_bytes=1 forces RB=8 so
+        na=4 groups rotate through G=2 slots."""
+        from physics_llm_inference_tpu.kernels.fused_decode import \
+            _fused_decode_step
+
+        B, S = 32, 128
+        params, kv, tok, P = _setup(B=B, S=S)
+        x = params["embed"][tok[:, 0]].astype(jnp.dtype(CFG.dtype))
+        pos = jnp.full((B,), P, jnp.int32)
+        cos_t, sin_t = rope_frequencies(CFG.head_dim, CFG.max_seq_len,
+                                        CFG.rope_theta)
+
+        def run(kvp, slots=None):
+            return _fused_decode_step(
+                params["blocks"], x, kv.k.q, kv.k.s, kv.v.q, kv.v.s,
+                pos, None, cos_t[pos], sin_t[pos], cfg=CFG,
+                slot=jnp.int32(P), write_cache=True, interpret=True,
+                kblock=True, kv_prefetch=kvp, rb_bytes=1,
+                kvp_slots=slots)
+
+        ref = run(False)
+        for slots in (4, 2):  # full rings, then 2-slot rotation
+            got = run(True, slots)
+            for name, xa, xb in zip(["x", "kq", "ks", "vq", "vs"],
+                                    ref, got):
+                assert np.array_equal(np.asarray(xa), np.asarray(xb)), \
+                    (slots, name)
+
 
 class TestLmHeadGreedy:
     def test_eligibility_gate(self):

@@ -140,6 +140,36 @@ class TestFlashAttention:
                                self._expand(v[:, :, :128], 4))
         np.testing.assert_allclose(out, ref, atol=2e-5)
 
+    def test_pipelined_body_matches(self, monkeypatch):
+        """The software-pipelined producer/consumer body (FLASH_PIPE=1,
+        round 4) must match the v3 body and the dense reference — incl.
+        rectangular offsets, kv_len tails and valid_from (the consume-side
+        mask covers all three)."""
+        monkeypatch.setenv("FLASH_PIPE", "1")
+        jax.clear_caches()
+        cfg = FlashConfig(block_q=64, block_k=64)
+        q, k, v = self._qkv(s=256, key=28)
+        out = flash_attention(q, k, v, causal=True, config=cfg)
+        ref = causal_attention(q, self._expand(k, 4), self._expand(v, 4))
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+        vf = jnp.asarray([0, 17])
+        out = flash_attention(q[:, :, 128:], k, v, q_offset=128,
+                              kv_len=224, valid_from=vf, causal=True,
+                              config=cfg)
+        mask = ((jnp.arange(256)[None, :] <= (128 + jnp.arange(128))[:, None])
+                [None, None]
+                & (jnp.arange(256)[None, :] < 224)
+                & (jnp.arange(256)[None, None, None, :] >= vf[:, None, None,
+                                                             None]))
+        s = jnp.einsum("bhqd,bhkd->bhqk", q[:, :, 128:],
+                       self._expand(k, 4)) / np.sqrt(q.shape[-1])
+        s = jnp.where(mask, s, -1e30)
+        ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1),
+                         self._expand(v, 4))
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+        monkeypatch.delenv("FLASH_PIPE")
+        jax.clear_caches()
+
     def test_online_softmax_stability(self):
         # large logits must not overflow (ref ch06/test_ch06.py:96-100)
         q, k, v = self._qkv(key=26)
