@@ -532,18 +532,23 @@ def _paged_kernel_r4(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
     """Fused whole-model decode over PAGED KV pools.
 
     Same phase structure as _kernel. The attention phase reads each
-    request's scattered blocks via MANUAL block-table DMA with one-layer
-    lookahead: during layer l's DOWN phase the kernel walks the
+    request's scattered VALUE blocks via MANUAL block-table DMA with
+    one-layer lookahead: during layer l's DOWN phase the kernel walks the
     scalar-prefetched block table (SMEM) and issues one HBM→VMEM copy per
-    (request, table column) into per-request-block ring buffers; layer
-    l+1's attention steps wait on them. This replaces the round-2 operand
-    FAN (RBP×MB auto-pipelined windows), which measured 3.8× slower than
-    the slot kernel: 130+ operands fragmented Mosaic's pipelining and dead
-    columns re-fetched resident blocks. Dead columns are still clamped to
-    the request's last live block, but a redundant copy of one 128 KB block
-    is noise, not a schedule stall. New K/V leave as scatter-mode outputs;
-    the caller lands them in the pools with an in-place XLA scatter
-    (cheap: ~4 MB/step vs the GB-scale weight stream).
+    (request, live table column) into per-request-block ring buffers;
+    layer l+1's attention steps wait on them. This replaces the round-2
+    operand FAN (RBP×MB auto-pipelined windows), which measured 3.8×
+    slower than the slot kernel: 130+ operands fragmented Mosaic's
+    pipelining and dead columns re-fetched resident blocks.
+
+    SCALES are LAYER-RESIDENT (round 4): each layer's whole (NB, HKV, BS)
+    scale pool arrives in ONE copy per pool (2 descriptors/layer instead
+    of 2 per (request, column)) and the attention step gathers blocks by
+    table index with in-VMEM page loads. Measured motivation: the paged
+    premium is per-descriptor-slot SCALAR cost (~0.27 µs per
+    check+start+wait triple — bs=128/MB=4 at 16.0 ms vs bs=256/MB=2 at
+    11.5 with identical live bytes), so halving the slots is worth ~4
+    ms/step at MB=4.
     """
     (L, B, S, D, F, HQ, HKV, HD, QO, TNQ, TNW, TNG, TK, RBP, MB, BS, nq,
      na, nwo, ngu, ndn, eps, wmajor, silu_spread, inplace) = cfgk
@@ -551,11 +556,12 @@ def _paged_kernel_r4(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
         (kqp_out, ksp_out, vqp_out, vsp_out,
          x_scr, h_scr, qkv_scr, q_scr, kcur_scr, vcur_scr, attn_scr,
          gu_scr, k8_scr, v8_scr, kscl_scr, vscl_scr,
-         kqb, vqb, ksb, vsb, kwst, vwst, rsem, wsem) = rest
+         kqb, vqb, ksl_all, vsl_all, kwst, vwst, ksst, vsst,
+         rsem, ssem, wsem) = rest
     else:
         (x_scr, h_scr, qkv_scr, q_scr, kcur_scr, vcur_scr, attn_scr,
          gu_scr, k8_scr, v8_scr, kscl_scr, vscl_scr,
-         kqb, vqb, ksb, vsb, rsem) = rest
+         kqb, vqb, ksl_all, vsl_all, rsem, ssem) = rest
 
     l = pl.program_id(0)
     t = pl.program_id(1)
@@ -569,8 +575,9 @@ def _paged_kernel_r4(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
     def pool_write_dmas(i):
         """In-place cache writes for request block i: per request, the
         8-slot int8 window of its CURRENT pool block (composed in kwst/
-        vwst) and that block's scale plane (updated in the ring) go back
-        to the aliased pool buffers at the table-resolved block index."""
+        vwst) and that block's scale plane (composed in ksst/vsst from
+        the layer-resident scale buffer) go back to the aliased pool
+        buffers at the table-resolved block index."""
         dmas = []
         for rr in range(RBP):
             r = i * RBP + rr
@@ -578,35 +585,42 @@ def _paged_kernel_r4(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
             c = off // BS
             blk = tables_ref[r, c]
             base8 = ((off % BS) // 8) * 8
-            cols = pl.ds(c * BS, BS)
             dmas.extend([
                 pltpu.make_async_copy(
                     kwst.at[i, rr], kqp_out.at[l, blk, pl.ds(base8, 8)],
                     wsem.at[i, 0]),
                 pltpu.make_async_copy(
-                    ksb.at[i, rr, :, cols], ksp_out.at[l, blk],
+                    ksst.at[i, rr], ksp_out.at[l, blk],
                     wsem.at[i, 1]),
                 pltpu.make_async_copy(
                     vwst.at[i, rr], vqp_out.at[l, blk, pl.ds(base8, 8)],
                     wsem.at[i, 2]),
                 pltpu.make_async_copy(
-                    vsb.at[i, rr, :, cols], vsp_out.at[l, blk],
+                    vsst.at[i, rr], vsp_out.at[l, blk],
                     wsem.at[i, 3]),
             ])
         return dmas
 
+    def scale_layer_dmas(lx):
+        """Layer lx's WHOLE scale pools → the layer-resident buffers:
+        2 descriptors regardless of B/MB."""
+        return (
+            pltpu.make_async_copy(ks_any.at[lx], ksl_all, ssem.at[0, 0]),
+            pltpu.make_async_copy(vs_any.at[lx], vsl_all, ssem.at[0, 1]),
+        )
+
     def kv_block_dmas(lx, i):
-        """Copies for request block i of layer lx: 4 streams × RBP
+        """VALUE copies for request block i of layer lx: 2 streams × RBP
         requests × LIVE table columns, each a single pool block. Returns
         (live, dma) pairs — a column is live iff c <= the destination
         block index (lens // BS; tables cover lengths+1, and at a block
         boundary the write path composes its 8-slot window from ring
         region lens // BS, which must hold the DESTINATION block's real
         content). Dead columns (c > last) are SKIPPED at both start and
-        wait — their ring regions hold stale bytes of an earlier layer,
-        which the kpos >= lens attention mask kills — saving up to MB×
-        re-fetch at partial occupancy (round 4; round 3 clamped dead
-        columns to the last live block and re-fetched it MB-last times)."""
+        wait — their ring regions hold stale int8 bytes, which only ever
+        meet masked/zero p (scales are layer-resident and always real, so
+        no NaN path exists) — saving up to MB× re-fetch at partial
+        occupancy."""
         dmas = []
         for rr in range(RBP):
             r = i * RBP + rr
@@ -619,29 +633,18 @@ def _paged_kernel_r4(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
                     pltpu.make_async_copy(kq_any.at[lx, idx],
                                           kqb.at[i, rr, cols],
                                           rsem.at[i, 0]),
-                    pltpu.make_async_copy(ks_any.at[lx, idx],
-                                          ksb.at[i, rr, :, cols],
-                                          rsem.at[i, 1]),
                     pltpu.make_async_copy(vq_any.at[lx, idx],
                                           vqb.at[i, rr, cols],
-                                          rsem.at[i, 2]),
-                    pltpu.make_async_copy(vs_any.at[lx, idx],
-                                          vsb.at[i, rr, :, cols],
-                                          rsem.at[i, 3]),
+                                          rsem.at[i, 1]),
                 ])
         return dmas
 
     @pl.when((l == 0) & (t == 0))
     def _():
         x_scr[:] = x0_ref[...].astype(jnp.float32)
-        # dead columns are never DMA'd, so their scale-ring regions would
-        # otherwise hold uninitialized VMEM: a NaN there survives the
-        # attention mask on the VALUE side (p=0 times scale=NaN). Zero the
-        # f32 scale rings once per step (~2 MB VPU stores; the int8 value
-        # rings can hold any stale bytes — they only meet masked/zero p).
-        ksb[...] = jnp.zeros_like(ksb)
-        vsb[...] = jnp.zeros_like(vsb)
         # layer 0 has no earlier slack window: issue its blocks now
+        for d in scale_layer_dmas(0):
+            d.start(priority=1)
         for i in range(na):
             for live, d in kv_block_dmas(0, i):
                 @pl.when(live)
@@ -657,6 +660,15 @@ def _paged_kernel_r4(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
             for i in range(na):
                 for d in pool_write_dmas(i):
                     d.wait()
+
+    # next layer's scale pools: issue right after this layer's last
+    # attention step has read the resident buffer (2 descriptors; the
+    # in-flight write-back of THIS layer's scale planes targets layer l
+    # rows — disjoint from the l+1 read)
+    @pl.when((l < L - 1) & (t == P_WO))
+    def _():
+        for d in scale_layer_dmas(l + 1):
+            d.start(priority=1)
 
     for i_ in range(na):
         @pl.when((l < L - 1) & (t == P_DN + i_))
@@ -735,15 +747,35 @@ def _paged_kernel_r4(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
         kcur = kcur_scr[rows, :].astype(jnp.float32).reshape(RBP, HKV, HD)
         vcur = vcur_scr[rows, :].astype(jnp.float32).reshape(RBP, HKV, HD)
         # drain the block-table prefetch issued one layer ago (same live
-        # predicates as the issue site — lens are step-constant)
+        # predicates as the issue site — lens are step-constant); the
+        # layer-resident scale fetch is waited once, at the first
+        # attention step
+        @pl.when(t == P_ATTN)
+        def _():
+            for d in scale_layer_dmas(l):
+                d.wait()
         for live, d in kv_block_dmas(l, i):
             @pl.when(live)
             def _(d=d):
                 d.wait()
         kq = kqb[i]                                       # (RBP, SC, flat)
         vq = vqb[i]
-        ks = ksb[i]                                       # (RBP, HKV, SC)
-        vs = vsb[i]
+        # gather each request's scale blocks from the layer-resident pool
+        # by table index (in-VMEM page loads — no descriptors); dead
+        # columns clamp to the last live block, masked below
+        ks_rows, vs_rows = [], []
+        for rr in range(RBP):
+            r = i * RBP + rr
+            last = lens_sp_ref[r] // BS
+            kparts, vparts = [], []
+            for c in range(MB):
+                idx = tables_ref[r, jnp.minimum(c, last)]
+                kparts.append(ksl_all[idx])               # (HKV, BS)
+                vparts.append(vsl_all[idx])
+            ks_rows.append(jnp.concatenate(kparts, axis=-1))
+            vs_rows.append(jnp.concatenate(vparts, axis=-1))
+        ks = jnp.stack(ks_rows)                           # (RBP, HKV, SC)
+        vs = jnp.stack(vs_rows)
         lens = lens_ref[rows, :]                          # (RBP, 1)
         kpos = lax.broadcasted_iota(jnp.int32, (RBP, 1, SC), 2)
         # dead columns were clamped to a live block at issue time — their
@@ -815,13 +847,16 @@ def _paged_kernel_r4(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
                 kwst[i, rr] = jnp.where(sel, k8r, win_k)
                 vwst[i, rr] = jnp.where(sel, v8r, win_v)
                 lane = lax.broadcasted_iota(jnp.int32, (HKV, BS), 1)
-                cols = pl.ds(c * BS, BS)
                 ksl = kslg[rr:rr + 1, :].reshape(HKV, 1)
                 vsl = vslg[rr:rr + 1, :].reshape(HKV, 1)
-                ksb[i, rr, :, cols] = jnp.where(lane == off % BS, ksl,
-                                                ksb[i, rr, :, cols])
-                vsb[i, rr, :, cols] = jnp.where(lane == off % BS, vsl,
-                                                vsb[i, rr, :, cols])
+                # compose the current block's scale plane from the
+                # layer-resident buffer + the new token's lane into the
+                # write staging (DMA'd back to the pool at P_GU)
+                cur_blk = tables_ref[r, c]
+                ksst[i, rr] = jnp.where(lane == off % BS, ksl,
+                                        ksl_all[cur_blk])
+                vsst[i, rr] = jnp.where(lane == off % BS, vsl,
+                                        vsl_all[cur_blk])
             for d in pool_write_dmas(i):
                 d.start(priority=1)
 
@@ -867,17 +902,20 @@ def _paged_kernel_r4(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
         xout_ref[...] = x_scr[...].astype(xout_ref.dtype)
 
 
-def fused_paged_decode_ok(cfg, B: int, MB: int, BS: int) -> bool:
+def fused_paged_decode_ok(cfg, B: int, MB: int, BS: int,
+                          NB: int | None = None) -> bool:
     """Static eligibility of the fused paged path (mirrors the dense
     _fused_decode_ok gates): INT8 pools with TPU-tileable shapes, ring
-    buffers that fit VMEM, and enough DOWN-phase steps to issue the
-    next layer's block-table prefetch."""
+    buffers + the layer-resident scale pools that fit VMEM, and enough
+    DOWN-phase steps to issue the next layer's block-table prefetch.
+    NB: total pool rows (incl. trash block); defaults to a B·MB+spares
+    estimate when the caller doesn't know the pool yet."""
     if getattr(cfg, "num_experts", 0) > 0 or cfg.act_quant != "none":
         return False
     if cfg.head_dim % 128 != 0 or cfg.hidden_dim % 128 != 0:
         return False
-    # scale rings are (.., HKV, MB·BS) sliced per BS column — manual DMA
-    # slices must be lane-aligned (128)
+    # value-ring regions are sliced per BS column — manual DMA slices
+    # must be lane-aligned (128)
     if BS % 128 != 0:
         return False
     RBP = _paged_rbp(B, MB)
@@ -889,8 +927,11 @@ def fused_paged_decode_ok(cfg, B: int, MB: int, BS: int) -> bool:
     if ndn < na:
         return False
     flat = cfg.num_kv_heads * cfg.head_dim
-    ring = (2 * na * RBP * MB * BS * flat
-            + 2 * na * RBP * cfg.num_kv_heads * MB * BS * 4)
+    if NB is None:
+        NB = B * MB + 33
+    ring = (2 * B * MB * BS * flat                      # int8 value rings
+            + 2 * NB * cfg.num_kv_heads * BS * 4        # layer scales
+            + 2 * B * (8 * flat + cfg.num_kv_heads * BS * 4))  # staging
     return ring <= (68 << 20)
 
 
@@ -1040,13 +1081,17 @@ def fused_paged_decode_step(params, x, kq_pool, ks_pool, vq_pool, vs_pool,
                 pltpu.VMEM((B, HKV), jnp.float32),      # v scale
                 pltpu.VMEM((na, RBP, MB * BS, flat_hd), jnp.int8),  # kq ring
                 pltpu.VMEM((na, RBP, MB * BS, flat_hd), jnp.int8),  # vq ring
-                pltpu.VMEM((na, RBP, HKV, MB * BS), jnp.float32),   # ks ring
-                pltpu.VMEM((na, RBP, HKV, MB * BS), jnp.float32),   # vs ring
+                # layer-resident scale pools (2 descriptors/layer)
+                pltpu.VMEM((NB, HKV, BS), jnp.float32),  # ks layer
+                pltpu.VMEM((NB, HKV, BS), jnp.float32),  # vs layer
                 *([
                     pltpu.VMEM((na, RBP, 8, flat_hd), jnp.int8),  # k stage
                     pltpu.VMEM((na, RBP, 8, flat_hd), jnp.int8),  # v stage
+                    pltpu.VMEM((na, RBP, HKV, BS), jnp.float32),  # ks stage
+                    pltpu.VMEM((na, RBP, HKV, BS), jnp.float32),  # vs stage
                 ] if inplace else []),
-                pltpu.SemaphoreType.DMA((na, 4)),       # block-read sems
+                pltpu.SemaphoreType.DMA((na, 2)),       # block-read sems
+                pltpu.SemaphoreType.DMA((1, 2)),        # layer-scale sems
                 *([pltpu.SemaphoreType.DMA((na, 4))]    # pool-write sems
                   if inplace else []),
             ],
@@ -1259,8 +1304,14 @@ def _fused_decode_step(params, x, k_q, k_s, v_q, v_s, q_slot, valid_from,
     kvp, G = False, na
     if kv_prefetch and write_cache and not act8 and ndn >= na \
             and S % 128 == 0:
-        slot_opts = ((kvp_slots,) if kvp_slots
-                     else (na, na // 2, na // 4))
+        # default: FULL rings or nothing. Rotation (G < na) was measured
+        # NET SLOWER where it would engage (INT4 B=128: 16.4 vs the v1
+        # path's 15.4 ms/step, round 4): at B=128 the step is MXU-bound
+        # (M rows full), so the prefetch hides no stall while its
+        # per-descriptor scalar cost (~0.27 µs × 4 streams × na groups
+        # per layer ≈ 1 ms/step) is pure overhead. FUSED_KVP_SLOTS opts
+        # rotation in for memory-bound geometries that exceed VMEM.
+        slot_opts = (kvp_slots,) if kvp_slots else (na,)
         for g in slot_opts:
             # g == na is the full-ring schedule (any na, incl. 1);
             # rotation needs >= 2 slots and a slot count dividing na

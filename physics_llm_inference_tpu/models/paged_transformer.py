@@ -63,7 +63,8 @@ def _paged_fused_ok(params, cfg: ModelConfig, b: int, k_pools,
         if not (isinstance(w, QuantizedTensor) and w.q.ndim == 3):
             return False
     bs = k_pools.q.shape[2]
-    return fused_paged_decode_ok(cfg, b, tables.shape[1], bs)
+    return fused_paged_decode_ok(cfg, b, tables.shape[1], bs,
+                                 NB=k_pools.q.shape[1])
 
 
 def _paged_decode_step_impl(params, tokens: jnp.ndarray,

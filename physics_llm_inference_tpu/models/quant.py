@@ -16,6 +16,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..kernels.quant import quantize_int8
 
@@ -160,13 +161,32 @@ def init_params_int8(rng, cfg) -> dict:
     }
 
 
-def _quantize_stacked_int4(w: jnp.ndarray, group: int) -> QuantizedTensor4:
-    """(L, K, N) → nibble-packed int4 with (L, K//G, N) group scales."""
+def _quantize_stacked_int4(w: jnp.ndarray, group: int,
+                           mse: bool = False) -> QuantizedTensor4:
+    """(L, K, N) → nibble-packed int4 with (L, K//G, N) group scales.
+
+    mse=True: per-(group, channel) SCALE SEARCH instead of plain absmax
+    RTN — absmax wastes the 4-bit range on the group's single largest
+    weight; shrinking the scale trades a little clip error on that
+    outlier for finer resolution on everything else. 11 candidates in
+    [0.75, 1.0]·absmax, argmin of the group's squared dequant error
+    (round 4, ACCURACY.md int4 rows)."""
     l, k, n = w.shape
     assert k % group == 0 and n % 2 == 0
     wf = w.astype(jnp.float32).reshape(l, k // group, group, n)
     amax = jnp.max(jnp.abs(wf), axis=2, keepdims=True)
     s = jnp.maximum(amax, 1e-8) / 7.0
+    if mse:
+        cands = np.linspace(0.75, 1.0, 11)
+
+        def err_for(c):
+            sc = s * c
+            q = jnp.clip(jnp.round(wf / sc), -8, 7)
+            return jnp.sum((wf - q * sc) ** 2, axis=2, keepdims=True)
+
+        errs = jnp.stack([err_for(float(c)) for c in cands])
+        s = s * jnp.asarray(cands, jnp.float32)[
+            jnp.argmin(errs, axis=0)]
     q = jnp.clip(jnp.round(wf / s), -8, 7).astype(jnp.int8).reshape(l, k, n)
     lo = q[..., :n // 2]
     hi = q[..., n // 2:]
@@ -175,10 +195,12 @@ def _quantize_stacked_int4(w: jnp.ndarray, group: int) -> QuantizedTensor4:
     return QuantizedTensor4(packed, s[:, :, 0, :])
 
 
-def quantize_params_int4(params: dict) -> dict:
+def quantize_params_int4(params: dict, mse: bool = False) -> dict:
     """INT4 (W4A16) block weights; embeds/norms/lm_head stay as in the INT8
     path (lm_head int8 — its N=vocab is the logits edge where 4-bit error
-    is most visible and its bytes are ~2% of a 7B)."""
+    is most visible and its bytes are ~2% of a 7B). mse=True: per-group
+    scale search (see _quantize_stacked_int4) — same wire format, so the
+    kernels don't care."""
     from ..kernels.fused_decode import int4_group_size
 
     out = {
@@ -197,7 +219,7 @@ def quantize_params_int4(params: dict) -> dict:
                 continue
             _, k, n = w.shape
             out["blocks"][name] = _quantize_stacked_int4(
-                w, int4_group_size(k, n))
+                w, int4_group_size(k, n), mse=mse)
         else:
             out["blocks"][name] = w
     lm = params["lm_head"]

@@ -88,6 +88,16 @@ def main():
     print(f"decode path int4: {ppl_dec_q4:.4f}  delta {d_dec4:+.4f}",
           flush=True)
 
+    # 2c. INT4 with MSE scale search (round 4): same wire format, scales
+    # picked per group by argmin dequant MSE instead of absmax RTN
+    params_q4m = quantize_params_int4(params, mse=True)
+    ppl_dec_q4m = decode_path_perplexity(params_q4m, cfg, held,
+                                         window=args.window,
+                                         kv_dtype=jnp.int8)
+    d_dec4m = ppl_dec_q4m - ppl_dec_fp
+    print(f"decode path int4+mse: {ppl_dec_q4m:.4f}  delta {d_dec4m:+.4f}",
+          flush=True)
+
     # 3. real tokenizer through the pool
     from tokenizers import Tokenizer, decoders
     tok_path = os.path.join(args.ckpt, "tokenizer.json")
@@ -139,6 +149,7 @@ than fp32 — passes on magnitude).
 | parallel forward (W-only INT8) | {rep['ppl_fp']:.4f} | {rep['ppl_quantized']:.4f} | {rep['delta']:+.4f} | {verdict(rep['delta'])} |
 | decode path (INT8 W+KV, serving machinery) | {ppl_dec_fp:.4f} | {ppl_dec_q:.4f} | {d_dec:+.4f} | {verdict(d_dec)} |
 | decode path (INT4 W group-wise + INT8 KV) | {ppl_dec_fp:.4f} | {ppl_dec_q4:.4f} | {d_dec4:+.4f} | {d_dec4/ppl_dec_fp*100:+.1f}% rel — measured, not budgeted (W4 RTN; INT8 is the budgeted native format) |
+| decode path (INT4 + MSE scale search, round 4) | {ppl_dec_fp:.4f} | {ppl_dec_q4m:.4f} | {d_dec4m:+.4f} | {d_dec4m/ppl_dec_fp*100:+.1f}% rel — same wire format, scales by per-group argmin MSE |
 
 Tokenizer: trained BPE (vocab {cfg.vocab_size}) through TokenizerPool —
 round-trip exact: {tok_ok}.
