@@ -216,30 +216,42 @@ def paged_prefill_chunk_impl(params, ids: jnp.ndarray,
                              k_pools: jnp.ndarray, v_pools: jnp.ndarray,
                              table: jnp.ndarray, start: jnp.ndarray,
                              nvalid: jnp.ndarray, cfg: ModelConfig):
-    """Prefill one chunk of ONE request into its paged blocks.
+    """Prefill one chunk of R requests into their paged blocks, BATCHED.
 
-    ids: (1, C) chunk tokens right-padded; table: (max_blocks,) the request's
-    block table; start: chunk's first global position; nvalid: real tokens in
-    the chunk. Attends over the request's prefix gathered from the pool
-    (start tokens) plus the chunk itself via the flash kernel. Returns
-    (last-valid-position logits (1, V), k_pools, v_pools).
+    ids: (R, C) chunk tokens right-padded; table: (R, max_blocks) block
+    tables; start: (R,) each chunk's first global position; nvalid: (R,)
+    real tokens per chunk (0 = padding row: no writes, garbage logits the
+    caller ignores). Attends over each request's prefix gathered from the
+    pool plus the chunk itself via the flash kernel (per-request
+    q_offset). Returns (last-valid-position logits (R, V), k_pools,
+    v_pools).
+
+    Round 4: batched over requests — the round-3 engine dispatched one
+    (1, C) forward PER REQUEST, so prefill cost was dominated by
+    per-dispatch overhead (tunnel round-trip + m=C matmuls at ~5% MXU);
+    one (R, C) dispatch amortizes both. 1D table / scalar start are
+    auto-promoted for back-compat.
     """
-    c = ids.shape[1]
+    if table.ndim == 1:
+        table = table[None]
+        start = jnp.asarray(start).reshape(1)
+        nvalid = jnp.asarray(nvalid).reshape(1)
+    R, c = ids.shape
     quantized = isinstance(k_pools, QuantKV)
     bs = (k_pools.q if quantized else k_pools).shape[2]
     hq, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    max_blocks = table.shape[0]
+    max_blocks = table.shape[1]
     prefix_cap = max_blocks * bs  # static gather width
 
     x = embed_lookup(params, ids, cfg)
     cos, sin = _rope_tables(cfg)
-    positions = start + jnp.arange(c)[None, :]
-    # scatter targets for the chunk's tokens
-    pos = start + jnp.arange(c)
-    blk = table[pos // bs]
-    off = pos % bs
+    positions = start[:, None] + jnp.arange(c)[None, :]     # (R, C)
+    # scatter targets for the chunks' tokens, flattened over (R·C)
     nb = (k_pools.q if quantized else k_pools).shape[1]
-    blk = jnp.where(jnp.arange(c) < nvalid, blk, nb)  # drop padding writes
+    blk = jnp.take_along_axis(table, positions // bs, axis=1)
+    blk = jnp.where(jnp.arange(c)[None, :] < nvalid[:, None], blk,
+                    nb).reshape(R * c)                      # drop padding
+    off = (positions % bs).reshape(R * c)
 
     # Pools in the scan carry for the same in-place-aliasing reason as the
     # decode step above.
@@ -249,50 +261,53 @@ def paged_prefill_chunk_impl(params, ids: jnp.ndarray,
         h = rms_norm(x, bp["ln1"], cfg.norm_eps)
         qkv = _linear(h, bp["wqkv"])
         q, k, v = jnp.split(qkv, [hq * hd, (hq + hkv) * hd], axis=-1)
-        q = q.reshape(1, c, hq, hd)
-        k = k.reshape(1, c, hkv, hd)
-        v = v.reshape(1, c, hkv, hd)
+        q = q.reshape(R, c, hq, hd)
+        k = k.reshape(R, c, hkv, hd)
+        v = v.reshape(R, c, hkv, hd)
         if cos is not None:
             q = apply_rope(q, cos, sin, positions)
             k = apply_rope(k, cos, sin, positions)
         if quantized:
-            kq8, ksc = quantize_int8(k[0], axis=-1)
-            vq8, vsc = quantize_int8(v[0], axis=-1)
+            kq8, ksc = quantize_int8(k.reshape(R * c, hkv, hd), axis=-1)
+            vq8, vsc = quantize_int8(v.reshape(R * c, hkv, hd), axis=-1)
             k_pools = QuantKV(
                 q=k_pools.q.at[l, blk, off].set(
-                    kq8.reshape(c, hkv * hd), mode="drop"),
+                    kq8.reshape(R * c, hkv * hd), mode="drop"),
                 s=k_pools.s.at[l, blk, :, off].set(ksc[..., 0], mode="drop"))
             v_pools = QuantKV(
                 q=v_pools.q.at[l, blk, off].set(
-                    vq8.reshape(c, hkv * hd), mode="drop"),
+                    vq8.reshape(R * c, hkv * hd), mode="drop"),
                 s=v_pools.s.at[l, blk, :, off].set(vsc[..., 0], mode="drop"))
 
             def gather_dq(pools):
                 pq = lax.dynamic_index_in_dim(pools.q, l, 0, keepdims=False)
                 ps = lax.dynamic_index_in_dim(pools.s, l, 0, keepdims=False)
-                seq = pq[table].reshape(max_blocks, bs, hkv, hd)
-                sc = ps[table].transpose(0, 2, 1)[..., None]
-                return (seq.astype(jnp.float32) * sc).reshape(
-                    1, prefix_cap, hkv, hd)
+                seq = pq[table].reshape(R, max_blocks, bs, hkv, hd)
+                sc = ps[table].transpose(0, 1, 3, 2)[..., None]
+                return (seq.astype(jnp.float32)
+                        * sc.reshape(R, max_blocks, bs, hkv, 1)).reshape(
+                            R, prefix_cap, hkv, hd)
 
             k_seq, v_seq = gather_dq(k_pools), gather_dq(v_pools)
         else:
-            k_pools = k_pools.at[l, blk, off].set(k[0].astype(k_pools.dtype),
-                                                  mode="drop")
-            v_pools = v_pools.at[l, blk, off].set(v[0].astype(v_pools.dtype),
-                                                  mode="drop")
-            # gather the request's whole (padded) KV range contiguously:
+            k_pools = k_pools.at[l, blk, off].set(
+                k.reshape(R * c, hkv, hd).astype(k_pools.dtype),
+                mode="drop")
+            v_pools = v_pools.at[l, blk, off].set(
+                v.reshape(R * c, hkv, hd).astype(v_pools.dtype),
+                mode="drop")
+            # gather each request's whole (padded) KV range contiguously:
             # (max_blocks·bs, Hkv, hd) — includes the chunk just written
             k_pool = lax.dynamic_index_in_dim(k_pools, l, 0, keepdims=False)
             v_pool = lax.dynamic_index_in_dim(v_pools, l, 0, keepdims=False)
-            k_seq = k_pool[table].reshape(1, prefix_cap, hkv, hd)
-            v_seq = v_pool[table].reshape(1, prefix_cap, hkv, hd)
+            k_seq = k_pool[table].reshape(R, prefix_cap, hkv, hd)
+            v_seq = v_pool[table].reshape(R, prefix_cap, hkv, hd)
         attn = flash_attention(
             q.transpose(0, 2, 1, 3),
             k_seq.transpose(0, 2, 1, 3).astype(q.dtype),
             v_seq.transpose(0, 2, 1, 3).astype(q.dtype),
             q_offset=start, causal=True)
-        attn = attn.transpose(0, 2, 1, 3).reshape(1, c, hq * hd)
+        attn = attn.transpose(0, 2, 1, 3).reshape(R, c, hq * hd)
         x = x + _tp_psum(_linear(attn, bp["wo"]), cfg)
         x = x + _ffn(bp, rms_norm(x, bp["ln2"], cfg.norm_eps), cfg)
         return (x, k_pools, v_pools), None
@@ -300,7 +315,9 @@ def paged_prefill_chunk_impl(params, ids: jnp.ndarray,
     (x, k_pools, v_pools), _ = lax.scan(
         body, (x, k_pools, v_pools), jnp.arange(cfg.num_layers))
     logits = lm_logits(x, params, cfg)
-    return logits[0, nvalid - 1][None, :], k_pools, v_pools
+    last = jnp.take_along_axis(
+        logits, jnp.maximum(nvalid - 1, 0)[:, None, None], axis=1)
+    return last[:, 0], k_pools, v_pools
 
 
 paged_prefill_chunk = partial(jax.jit, static_argnames=("cfg",),

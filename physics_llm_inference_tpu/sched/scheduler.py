@@ -116,7 +116,17 @@ class Scheduler:
                       if self.shared_blocks_fn else None)
             if self.kv_pool is not None and not self.kv_pool.can_allocate(
                     reserve, shared):
-                out.preempted.extend(self._preempt_for(reserve))
+                victims = self._preempt_for(reserve)
+                out.preempted.extend(victims)
+                # a victim may have been admitted EARLIER IN THIS CALL
+                # (most-recently-started sorts first): its pool allocation
+                # is gone, so it must leave this iteration's prefill set
+                # too, or the engine would prefill into freed blocks
+                # (KeyError under serving load, round 4)
+                gone = {v.request_id for v in victims}
+                if gone:
+                    out.prefill = [r for r in out.prefill
+                                   if r.request_id not in gone]
                 if not self.kv_pool.can_allocate(reserve, shared):
                     continue
             if self.kv_pool is not None:

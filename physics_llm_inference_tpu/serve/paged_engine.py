@@ -67,9 +67,14 @@ class PagedEngineConfig:
     prefill_tokens_per_iter: int | None = None
     # Multi-step scheduling: decode up to this many tokens per device
     # dispatch (in-device lax.scan, sampling included). The engine
-    # pre-extends block tables to cover the horizon, drops to single steps
-    # while requests are waiting, and discards tokens past a stop.
+    # pre-extends block tables to cover the horizon, drops to
+    # decode_horizon_pressured while requests are waiting (admission
+    # latency vs dispatch amortization; each extra horizon step delays
+    # the next admission by one decode step but halves the ~25-40 ms
+    # per-dispatch host+readout overhead), and discards tokens past a
+    # stop.
     decode_horizon: int = 8
+    decode_horizon_pressured: int = 2
 
     @classmethod
     def for_fused(cls, max_batch: int = 64, max_seq_len: int = 512,
@@ -456,63 +461,103 @@ class PagedInferenceEngine:
             self._prefilling.append(r)
         budget = (self.config.prefill_tokens_per_iter
                   or self.config.max_prefill_chunk)
+        # BATCHED prefill (round 4): one chunk per request per iteration,
+        # all same-bucket chunks in ONE (R, cb) dispatch, one batched
+        # sample + ONE host readout for every finished prompt. The r3
+        # engine dispatched a (1, cb) forward per request — at 7B over
+        # the tunnel that was ~30-60 ms of dispatch+readout per request
+        # while the m=128 matmuls used ~5% of the MXU.
         still_prefilling = []
+        torun = []                            # (r, row, pos, n)
         for r in self._prefilling:
             row = self._row_of.get(r.request_id)
             if row is None or r.is_done():    # preempted/aborted meanwhile
                 continue
+            if (r.kv_request_id or r.request_id) not in self.pool.tables:
+                # pool allocation revoked (preempted back to waiting after
+                # admission) — it re-enters via a future schedule()
+                self._row_of.pop(r.request_id, None)
+                self._active[row] = False
+                continue
             if budget <= 0:
                 still_prefilling.append(r)
                 continue
-            self._sync_table_row(row, r.request_id)
-            table = jnp.asarray(self._tables[row])
-            p = r.prompt_len
-            pos = r.prefill_pos
-            logits = None
-            while pos < p and budget > 0:
-                n = min(p - pos, self.config.max_prefill_chunk)
-                cb = bucket_for(n, self.config.prompt_buckets)
-                ids = np.zeros((1, cb), dtype=np.int32)
-                ids[0, :n] = r.prompt_tokens[pos:pos + n]
-                fn = self._prefill_cache.get(cb)
-                if self.dispatch_trace is not None:
-                    self.dispatch_trace.append(
-                        ("prefill", cb, row, pos, n))
-                logits, self._k, self._v = fn(
-                    self.params, jnp.asarray(ids), self._k, self._v,
-                    table, jnp.int32(pos), jnp.int32(n))
-                pos += n
-                budget -= n
-                r.prefill_pos = pos
-            if pos < p:                       # budget ran out mid-prompt
-                still_prefilling.append(r)
+            n = min(r.prompt_len - r.prefill_pos,
+                    self.config.max_prefill_chunk)
+            torun.append((r, row, r.prefill_pos, n))
+            budget -= n
+        by_cb: dict[int, list] = {}
+        for item in torun:
+            cb = bucket_for(item[3], self.config.prompt_buckets)
+            by_cb.setdefault(cb, []).append(item)
+        for cb, items in sorted(by_cb.items()):
+            rb = 1                            # pad R to a power of two:
+            while rb < len(items):            # bounds compiled batch shapes
+                rb *= 2
+            ids = np.zeros((rb, cb), dtype=np.int32)
+            tables = np.full((rb, self.config.max_blocks_per_request),
+                             self._trash, dtype=np.int32)
+            starts = np.zeros((rb,), dtype=np.int32)
+            nval = np.zeros((rb,), dtype=np.int32)
+            for j, (r, row, pos, n) in enumerate(items):
+                self._sync_table_row(row, r.request_id)
+                ids[j, :n] = r.prompt_tokens[pos:pos + n]
+                tables[j] = self._tables[row]
+                starts[j] = pos
+                nval[j] = n
+            fn = self._prefill_cache.get(cb)
+            if self.dispatch_trace is not None:
+                self.dispatch_trace.append(
+                    ("prefill", cb, tuple(it[1] for it in items),
+                     tuple(it[2] for it in items), tuple(nval.tolist())))
+            logits, self._k, self._v = fn(
+                self.params, jnp.asarray(ids), self._k, self._v,
+                jnp.asarray(tables), jnp.asarray(starts),
+                jnp.asarray(nval))
+            done = []                          # (j, r, row)
+            for j, (r, row, pos, n) in enumerate(items):
+                r.prefill_pos = pos + n
+                if r.prefill_pos < r.prompt_len:
+                    still_prefilling.append(r)
+                else:
+                    done.append((j, r, row))
+            if not done:
                 continue
-            tok = sample_token(logits, self._split_rng(),
-                               temperature=jnp.float32(r.sampling.temperature),
-                               top_k=jnp.full((1,), r.sampling.top_k,
-                                              jnp.int32),
-                               top_p=jnp.float32(r.sampling.top_p))
-            tok_i = int(tok[0])
-            self._lengths[row] = p
-            self._active[row] = True
-            r.first_token_time = time.monotonic()
-            r.output_tokens.append(tok_i)
-            emitted.setdefault(r.request_id, []).append(tok_i)
-            self._notify(r, tok_i)
+            idx = jnp.asarray([j for j, _, _ in done], jnp.int32)
+            toks = sample_token(
+                logits[idx], self._split_rng(),
+                temperature=jnp.asarray(
+                    [r.sampling.temperature for _, r, _ in done],
+                    jnp.float32),
+                top_k=jnp.asarray([r.sampling.top_k for _, r, _ in done],
+                                  jnp.int32),
+                top_p=jnp.asarray([r.sampling.top_p for _, r, _ in done],
+                                  jnp.float32))
+            for (j, r, row), tok_i in zip(done, np.asarray(toks).tolist()):
+                self._lengths[row] = r.prompt_len
+                self._active[row] = True
+                r.first_token_time = time.monotonic()
+                r.output_tokens.append(tok_i)
+                emitted.setdefault(r.request_id, []).append(tok_i)
+                self._notify(r, tok_i)
         self._prefilling = still_prefilling
 
         # ---- grow KV for decoding requests; relieve pressure if needed
-        # horizon: tokens decoded per dispatch (1 while requests wait —
-        # admission latency beats dispatch amortization under queue
-        # pressure; also bounded by table capacity headroom)
+        # horizon: tokens decoded per dispatch (decode_horizon_pressured —
+        # default 2 — while requests wait: each extra step delays the next
+        # admission by one decode step but halves the per-dispatch
+        # host+readout overhead; full decode_horizon when the queue is
+        # empty; also bounded by table capacity headroom)
         c = self.config
+        pressured = bool(self.scheduler.waiting or self._prefilling)
+        target = (min(c.decode_horizon, c.decode_horizon_pressured)
+                  if pressured else c.decode_horizon)
         h = 1
-        if (not self.scheduler.waiting and not self._prefilling
-                and c.decode_horizon > 1):
+        if target > 1:
             cap = c.max_blocks_per_request * c.block_size
             lens = self._lengths[self._active]
             room = cap - 1 - (int(lens.max()) if lens.size else 0)
-            while h * 2 <= min(c.decode_horizon, max(1, room)):
+            while h * 2 <= min(target, max(1, room)):
                 h *= 2
         candidates = []
         for r in out.decode:
@@ -521,7 +566,12 @@ class PagedInferenceEngine:
                 continue
             rid = r.kv_request_id or r.request_id
             row = self._row_of[r.request_id]
-            needed = int(self._lengths[row]) + h
+            # extend only to what this request can still emit — a request
+            # finishing inside the horizon must not reserve a block for
+            # discarded tokens (h=2 reserving len+2 at an exact block
+            # boundary drained the pool into allocation stalls, round 4)
+            remaining = max(1, r.max_new_tokens - len(r.output_tokens))
+            needed = int(self._lengths[row]) + min(h, remaining)
             tbl = self.pool.tables[rid]
             if self.pool.blocks_needed(needed) > tbl.num_blocks():
                 if not self.pool.free_blocks:

@@ -4,10 +4,11 @@ configuration, measured with the ch10-comparable harness
 (ref ch10/benchmark.py:86-169: closed-loop load at fixed concurrency,
 TTFT & E2E percentiles, requests/s, tokens/s).
 
-A quarter of the requests share a 64-token prefix in groups of 4 so the
-radix cache sees realistic prefix reuse (system-prompt pattern).
+A quarter of the requests share a block-sized (128-token) prefix so the
+radix cache sees realistic prefix reuse (system-prompt pattern) at the
+fused geometry's sharing grain.
 
-Usage: python scripts/bench_serving7b.py [--requests 128] [--concurrency 64]
+Usage: python scripts/bench_serving7b.py [--requests 192] [--concurrency 64]
 """
 from __future__ import annotations
 
@@ -24,9 +25,9 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--requests", type=int, default=128)
+    ap.add_argument("--requests", type=int, default=192)
     ap.add_argument("--concurrency", type=int, default=64)
-    ap.add_argument("--prompt", type=int, default=128)
+    ap.add_argument("--prompt", type=int, default=192)
     ap.add_argument("--decode", type=int, default=64)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--horizon", type=int, default=8)
@@ -49,19 +50,24 @@ def main():
 
     pc = PagedEngineConfig.for_fused(
         max_batch=args.batch, max_seq_len=512, kv_dtype="int8",
-        decode_horizon=args.horizon, enable_radix=True)
+        decode_horizon=args.horizon, enable_radix=True,
+        prefill_tokens_per_iter=2048)
     engine = PagedInferenceEngine(params, cfg, pc)
     loop = ServingLoop(engine)
 
     rng = np.random.default_rng(0)
-    shared = [list(rng.integers(1, cfg.vocab_size, 64)) for _ in range(8)]
+    # shared prefixes span ONE FULL BLOCK (radix grain = block_size=128);
+    # warmup covers 2 rounds of every prefix so the radix-HIT chunk shape
+    # (prompt minus matched block) compiles before the timed run
+    shared = [list(rng.integers(1, cfg.vocab_size, pc.block_size))
+              for _ in range(8)]
 
     def prompt_fn(i):
-        # every 4th request block shares one of 8 64-token prefixes
+        # every 4th request shares one of 8 block-sized prefixes
         if i % 4 == 0:
             pre = shared[(i // 4) % len(shared)]
             return pre + list(rng.integers(1, cfg.vocab_size,
-                                           args.prompt - 64))
+                                           args.prompt - len(pre)))
         return list(rng.integers(1, cfg.vocab_size, args.prompt))
 
     def generate_fn(prompt_tokens, max_tokens):
@@ -77,11 +83,24 @@ def main():
 
     bc = BenchmarkConfig(num_requests=args.requests,
                          concurrency=args.concurrency,
-                         warmup_requests=max(2, args.concurrency // 2),
+                         warmup_requests=0,
                          prompt_len=args.prompt, max_tokens=args.decode)
     t0 = time.time()
     print("[serving7b] warmup (compiles prefill buckets + decode)...",
           file=sys.stderr, flush=True)
+    # FULL CONCURRENT warm wave first (unmeasured): the harness's own
+    # warmup is sequential, but half the compiled shapes only appear
+    # under concurrency — batched-prefill row counts (rb=2..16), the
+    # h=1 decode dispatched while requests wait, radix-hit chunk
+    # buckets. Measuring run 1 times those compiles (P90 latency was
+    # 150 s of compile stall); run 2 is the steady-state number.
+    warm = BenchmarkConfig(num_requests=args.requests,
+                           concurrency=args.concurrency,
+                           warmup_requests=2,
+                           prompt_len=args.prompt, max_tokens=args.decode)
+    run_benchmark(warm, generate_fn, prompt_fn)
+    print(f"[serving7b] concurrent warm wave done at {time.time()-t0:.0f}s "
+          f"— timed wave starts", file=sys.stderr, flush=True)
     result = run_benchmark(bc, generate_fn, prompt_fn)
     print(f"[serving7b] total wall (incl warmup/compile) "
           f"{time.time()-t0:.0f}s", file=sys.stderr, flush=True)

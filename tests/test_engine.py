@@ -345,8 +345,11 @@ class TestMixedIterations:
             temperature=0.0))
         eng.run_until_done([short, long])
         tr = eng.dispatch_trace
+        # round-4 batched-prefill trace rows: (kind, cb, rows, positions,
+        # nvalids) with tuple payloads — the long prompt's chunks are the
+        # n=8 entries in the cb=8 bucket
         long_chunks = [i for i, t in enumerate(tr)
-                       if t[0] == "prefill" and t[4] == 8 and t[1] == 8]
+                       if t[0] == "prefill" and t[1] == 8 and 8 in t[4]]
         assert len(long_chunks) == 4
         for a, b in zip(long_chunks, long_chunks[1:]):
             assert any(tr[i][0] == "decode" for i in range(a + 1, b))

@@ -201,6 +201,21 @@ class TestScheduler:
         assert s.waiting[0].state == RequestState.PREEMPTED
         assert s.waiting[0].prefill_pos == 0
 
+    def test_same_iteration_admit_then_preempt_leaves_prefill(self):
+        """A request admitted earlier in the SAME schedule() call can be
+        chosen as a preemption victim for a higher-priority one behind it
+        (most-recently-started sorts first). Its pool allocation is gone,
+        so it must NOT remain in out.prefill — the engine would prefill
+        into freed blocks (crashed under serving load, round 4)."""
+        pool = PagedKVCache(num_blocks=4, block_size=4)
+        s = Scheduler(SchedulerConfig(), kv_pool=pool)
+        s.add_request(req("first", plen=8, max_new=8))
+        s.add_request(req("second", plen=8, max_new=8))
+        out = s.schedule()
+        assert [r.request_id for r in out.prefill] == ["second"]
+        assert [r.request_id for r in out.preempted] == ["first"]
+        assert "first" not in pool.tables
+
 
 class TestStaticBatcher:
     def test_pad_to_max_efficiency(self):
