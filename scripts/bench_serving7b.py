@@ -81,6 +81,23 @@ def main():
                 return {"tokens": res.tokens, "ttft_s": res.ttft_s}
             time.sleep(0.002)
 
+    def measure_rtt(n=20):
+        # Host->device dispatch + scalar readout round-trip: the serving
+        # loop pays this once per engine iteration, so on the tunneled dev
+        # TPU it GOVERNS serving throughput (measured 2 ms on a quiet
+        # relay, 40-1300 ms under congestion — a 2-4x swing in tok/s at
+        # identical engine config). Recorded in the JSON so every serving
+        # artifact carries the tunnel state it was measured under.
+        import jax.numpy as jnp
+        g = jax.jit(lambda a: a + 1)
+        y = jnp.zeros((8,), jnp.float32)
+        float(g(y)[0])  # compile
+        t0 = time.time()
+        for _ in range(n):
+            y = g(y)
+            float(y[0])
+        return (time.time() - t0) / n
+
     bc = BenchmarkConfig(num_requests=args.requests,
                          concurrency=args.concurrency,
                          warmup_requests=0,
@@ -101,9 +118,14 @@ def main():
     run_benchmark(warm, generate_fn, prompt_fn)
     print(f"[serving7b] concurrent warm wave done at {time.time()-t0:.0f}s "
           f"— timed wave starts", file=sys.stderr, flush=True)
+    rtt_before = measure_rtt()
+    print(f"[serving7b] tunnel dispatch RTT before timed wave: "
+          f"{rtt_before*1e3:.1f} ms", file=sys.stderr, flush=True)
     result = run_benchmark(bc, generate_fn, prompt_fn)
+    rtt_after = measure_rtt()
     print(f"[serving7b] total wall (incl warmup/compile) "
-          f"{time.time()-t0:.0f}s", file=sys.stderr, flush=True)
+          f"{time.time()-t0:.0f}s; RTT after: {rtt_after*1e3:.1f} ms",
+          file=sys.stderr, flush=True)
     loop.shutdown()
 
     stats = engine.stats()
@@ -112,6 +134,8 @@ def main():
         "metric": "serving_7b_int8_paged",
         "radix_hit_tokens": stats["radix_hit_tokens"],
         "preemptions": stats["scheduler"].get("preemptions", 0),
+        "tunnel_rtt_ms": {"before": round(rtt_before * 1e3, 1),
+                          "after": round(rtt_after * 1e3, 1)},
         "config": {"batch": args.batch, "block_size": pc.block_size,
                    "horizon": args.horizon,
                    "concurrency": args.concurrency,

