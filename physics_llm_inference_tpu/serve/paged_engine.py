@@ -85,7 +85,13 @@ class PagedEngineConfig:
         per request, batch a multiple of 8. Coarser blocks trade radix
         prefix-sharing granularity for the ~2x per-op decode overhead the
         megakernel removes — the right trade for throughput serving."""
-        bs = max(32, min(2048, max_seq_len) // 4)
+        # The fused gate requires lane-aligned blocks (bs % 128 == 0) —
+        # round UP to the next 128 multiple so short-context presets
+        # (max_seq_len < 512) still produce a fused-capable geometry
+        # instead of silently falling back to the per-op path (the r4
+        # verify drive caught for_fused(max_seq_len=128) emitting bs=32).
+        bs = -(-min(2048, max_seq_len) // 4)
+        bs = max(128, -(-bs // 128) * 128)
         mb = (max_seq_len + bs - 1) // bs
         assert mb <= 4
         return cls(block_size=bs, max_blocks_per_request=mb,
@@ -165,12 +171,17 @@ class PagedInferenceEngine:
                                          c.max_blocks_per_request,
                                          c.block_size):
                 print(f"[paged-engine] fused paged decode DISABLED for "
-                      f"geometry (batch={c.max_batch}, "
+                      f"(batch={c.max_batch}, "
                       f"blocks/req={c.max_blocks_per_request}, "
-                      f"block_size={c.block_size}) — falling back to the "
-                      f"per-op paged path (~1.3x slower/step). block_size "
-                      f"must be a multiple of 128 and batch a multiple of "
-                      f"8; see PagedEngineConfig.for_fused().",
+                      f"block_size={c.block_size}, "
+                      f"hidden={model_cfg.hidden_dim}, "
+                      f"head_dim={model_cfg.head_dim}) — falling back to "
+                      f"the per-op paged path (~1.3x slower/step). The "
+                      f"gate needs block_size % 128 == 0, batch % 8 == 0, "
+                      f"hidden_dim/head_dim % 128 == 0, dense FFN, and "
+                      f"rings that fit VMEM (fused_decode."
+                      f"fused_paged_decode_ok); see "
+                      f"PagedEngineConfig.for_fused().",
                       file=sys.stderr)
 
         self.pool = PagedKVCache(num_blocks=c.num_blocks,

@@ -220,6 +220,16 @@ class TestFusedGeometry:
                                      pc.block_size)
         assert pc.block_size * pc.max_blocks_per_request >= 512
 
+    def test_for_fused_short_context_stays_lane_aligned(self):
+        # r4 regression: max_seq_len < 512 used to emit bs = seq//4 (e.g.
+        # 32), which fails the fused gate's bs % 128 == 0 and silently
+        # fell back to the per-op path from a constructor named for_fused
+        for s in (64, 128, 256, 512, 640, 1024, 2048):
+            pc = PagedEngineConfig.for_fused(max_seq_len=s)
+            assert pc.block_size % 128 == 0
+            assert pc.max_blocks_per_request <= 4
+            assert pc.block_size * pc.max_blocks_per_request >= s
+
     def test_for_fused_preset_serves(self, params):
         pc = PagedEngineConfig.for_fused(max_batch=8, max_seq_len=64,
                                          prompt_buckets=(8, 16, 32),
