@@ -133,9 +133,7 @@ def make_handler(engine: InferenceEngine, tokenizer: TokenizerPool,
         def _complete(self, req, gen, prompt_tokens):
             rid = engine.submit_request(gen)
             loop.notify()
-            while engine.get_result(rid) is None:
-                time.sleep(0.002)
-            res = engine.get_result(rid)
+            res = engine.wait_result(rid)
             text = tokenizer.detokenize(res.tokens)
             resp = ChatCompletionResponse.create(
                 model=req.model, content=text,

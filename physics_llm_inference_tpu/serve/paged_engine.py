@@ -208,6 +208,7 @@ class PagedInferenceEngine:
         self._active = np.zeros(c.max_batch, dtype=bool)
 
         self._lock = threading.RLock()
+        self._result_cv = threading.Condition()
         self._next_id = 0
         self._rng = jax.random.PRNGKey(0)
         self._results: dict[str, GenerationResult] = {}
@@ -716,6 +717,8 @@ class PagedInferenceEngine:
             ttft_s=r.ttft(), total_s=total)
         with self._lock:
             self._total_tokens += len(r.output_tokens)
+        with self._result_cv:
+            self._result_cv.notify_all()
 
     def run_until_done(self, request_ids=None, max_steps: int = 100_000):
         for _ in range(max_steps):
@@ -734,6 +737,24 @@ class PagedInferenceEngine:
 
     def get_result(self, request_id: str):
         return self._results.get(request_id)
+
+    def wait_result(self, request_id: str, timeout: float | None = None):
+        """Block until the request finishes (condition-variable wait).
+
+        The polling alternative — N client threads spinning on
+        get_result() every few ms — costs real GIL time right next to
+        the host-side engine loop (64 pollers at 2 ms = 32k wakeups/s);
+        the HTTP server and the serving benchmarks wait here instead.
+        Returns None on timeout."""
+        deadline = None if timeout is None else time.monotonic() + timeout
+        with self._result_cv:
+            while request_id not in self._results:
+                rem = (None if deadline is None
+                       else deadline - time.monotonic())
+                if rem is not None and rem <= 0:
+                    return None
+                self._result_cv.wait(rem if rem is not None else 1.0)
+        return self._results[request_id]
 
     def stats(self) -> dict:
         s = {

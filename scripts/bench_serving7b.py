@@ -75,11 +75,10 @@ def main():
             prompt_tokens=prompt_tokens, max_tokens=max_tokens,
             temperature=0.0))
         loop.notify()
-        while True:
-            res = engine.get_result(rid)
-            if res is not None:
-                return {"tokens": res.tokens, "ttft_s": res.ttft_s}
-            time.sleep(0.002)
+        # condition-variable wait, not a 2 ms poll: at concurrency 64 the
+        # polling version cost 32k GIL wakeups/s next to the engine loop
+        res = engine.wait_result(rid)
+        return {"tokens": res.tokens, "ttft_s": res.ttft_s}
 
     def measure_rtt(n=20):
         # Host->device dispatch + scalar readout round-trip: the serving

@@ -322,3 +322,36 @@ class TestCLISharding:
         with pytest.raises(SystemExit):
             main(["serve", "--config", "toy", "--tp", "64", "--port", "0",
                   "--check"])
+
+
+class TestWaitResult:
+    """wait_result: condition-variable blocking wait (r4) — the polling
+    alternative cost 32k GIL wakeups/s at the serving bench's concurrency."""
+
+    def test_blocks_until_finish_and_times_out(self):
+        from physics_llm_inference_tpu.models import ModelConfig, init_params
+        from physics_llm_inference_tpu.serve import (EngineConfig,
+                                                     GenerationRequest,
+                                                     InferenceEngine)
+        from physics_llm_inference_tpu.serve.http_server import ServingLoop
+
+        cfg = ModelConfig(vocab_size=256, hidden_dim=64, num_layers=2,
+                          num_heads=4, num_kv_heads=2, intermediate_dim=128,
+                          max_seq_len=128, dtype="float32")
+        eng = InferenceEngine(init_params(jax.random.PRNGKey(0), cfg), cfg,
+                              EngineConfig(num_slots=4, max_seq_len=96,
+                                           prompt_buckets=(16, 32)))
+        # timeout path first: no engine loop is running yet
+        assert eng.wait_result("no-such-request", timeout=0.05) is None
+        loop = ServingLoop(eng)
+        try:
+            rid = eng.submit_request(GenerationRequest(
+                prompt_tokens=[3, 5, 7], max_tokens=4, temperature=0.0))
+            loop.notify()
+            res = eng.wait_result(rid, timeout=120)
+            assert res is not None and len(res.tokens) == 4
+            # already-finished requests return immediately
+            again = eng.wait_result(rid, timeout=0.01)
+            assert again is res
+        finally:
+            loop.shutdown()
