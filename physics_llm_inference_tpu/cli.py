@@ -91,18 +91,20 @@ def cmd_serve(args):
     if args.paged:
         from .serve.paged_engine import PagedEngineConfig, PagedInferenceEngine
 
-        # derive geometry from the engine's fused-capable default block
-        # size (128 — the fused paged megakernel needs lane-aligned
-        # blocks); fall back to fine blocks only when the context window
-        # itself is smaller than a lane block
-        block_size = PagedEngineConfig.block_size \
-            if args.max_seq_len % PagedEngineConfig.block_size == 0 else 16
-        engine = PagedInferenceEngine(params, cfg, PagedEngineConfig(
-            max_batch=args.slots,
-            num_blocks=args.slots * args.max_seq_len // block_size,
-            block_size=block_size,
-            max_blocks_per_request=args.max_seq_len // block_size),
-            mesh=mesh)
+        # derive a fused-capable geometry (large lane-aligned blocks; the
+        # fused paged megakernel needs bs % 128 == 0); fall back to fine
+        # blocks only when the context window itself is smaller than a
+        # lane block
+        if args.max_seq_len % 128 == 0:
+            pc = PagedEngineConfig.for_fused(max_batch=args.slots,
+                                             max_seq_len=args.max_seq_len)
+        else:
+            pc = PagedEngineConfig(
+                max_batch=args.slots,
+                num_blocks=args.slots * ((args.max_seq_len + 15) // 16),
+                block_size=16,
+                max_blocks_per_request=(args.max_seq_len + 15) // 16)
+        engine = PagedInferenceEngine(params, cfg, pc, mesh=mesh)
     else:
         engine = InferenceEngine(params, cfg, EngineConfig(
             num_slots=args.slots, max_seq_len=args.max_seq_len), mesh=mesh)

@@ -325,6 +325,25 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # cap grouped rows: s/p are (g·bq, bk) f32 in VMEM — keep them ~8 MB
     bq = fit(min(config.block_q, max(128, 2048 // group)), sq)
     bk = fit(config.block_k, sk)
+    if not interpret and ((bq % 8 and bq != sq) or (bk % 8 and bk != sk)):
+        # Mosaic requires sublane-divisible (8) block dims; an oddly-sized
+        # sequence (e.g. a 1036-slot cache) can force `fit` onto a
+        # non-8-multiple tile. Fall back to XLA dense with the same mask
+        # semantics rather than fail to compile (caught by the round-5
+        # verify drive on a 600-token prompt).
+        from ..ops.gqa import grouped_sdpa
+
+        qoff_ = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (b,))
+        iq = qoff_[:, None] + jnp.arange(sq)[None, :]        # (B, Sq)
+        ik = jnp.arange(sk)
+        mask = ik[None, None, :] <= iq[:, :, None] if causal else \
+            jnp.ones((b, sq, sk), bool)
+        if kv_len is not None:
+            mask = mask & (ik[None, None, :] < kv_len)
+        if valid_from is not None:
+            mask = mask & (ik[None, None, :]
+                           >= jnp.asarray(valid_from)[:, None, None])
+        return grouped_sdpa(q, k, v, mask=mask[:, None, None])
     scale = 1.0 / math.sqrt(d)
     kv_len = sk if kv_len is None else kv_len
     qoff = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (b,))

@@ -523,45 +523,66 @@ def _kernel(slot_ref, x0_ref, ln1_ref, ln2_ref, wqkv_ref, sqkv_ref, wo_ref,
         xout_ref[...] = x_scr[...].astype(xout_ref.dtype)
 
 
-def _paged_kernel_r4(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
+def _paged_kernel_r5(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
                   wqkv_ref, sqkv_ref, wo_ref, swo_ref, wgu_ref, sgu_ref,
                   wdn_ref, sdn_ref, cos_ref, sin_ref, lens_ref,
-                  kq_any, ks_any, vq_any, vs_any,
+                  kv_any, kvs_any,
                   xout_ref, ko1_ref, ko2_ref, vo1_ref, vo2_ref, *rest,
                   cfgk):
     """Fused whole-model decode over PAGED KV pools.
 
     Same phase structure as _kernel. The attention phase reads each
     request's scattered VALUE blocks via MANUAL block-table DMA with
-    one-layer lookahead: during layer l's DOWN phase the kernel walks the
-    scalar-prefetched block table (SMEM) and issues one HBM→VMEM copy per
-    (request, live table column) into per-request-block ring buffers;
-    layer l+1's attention steps wait on them. This replaces the round-2
-    operand FAN (RBP×MB auto-pipelined windows), which measured 3.8×
-    slower than the slot kernel: 130+ operands fragmented Mosaic's
-    pipelining and dead columns re-fetched resident blocks.
+    one-layer lookahead: the kernel walks the scalar-prefetched block
+    table (SMEM) and issues one HBM→VMEM copy per (request, live table
+    column) into request-block ring buffers; the attention steps wait on
+    them. This replaces the round-2 operand FAN (RBP×MB auto-pipelined
+    windows), which measured 3.8× slower than the slot kernel: 130+
+    operands fragmented Mosaic's pipelining and dead columns re-fetched
+    resident blocks.
 
-    SCALES are LAYER-RESIDENT (round 4): each layer's whole (NB, HKV, BS)
-    scale pool arrives in ONE copy per pool (2 descriptors/layer instead
-    of 2 per (request, column)) and the attention step gathers blocks by
+    VALUE RINGS ROTATE (round 5): the rings hold G <= na request-block
+    slots — request block i reads slot i % G, refilled one step after the
+    slot's previous occupant's attention step (the dense kvp rotation
+    scheme applied to the paged path). Ring VMEM is therefore
+    G·RBP·capacity·flat per stream, INDEPENDENT of na — which is what
+    lets the fused path cover production contexts (capacity 1024+ at
+    B=64; the r4 full-depth rings capped capacity at 512). G == na is the
+    full-ring schedule (small geometries / tests).
+
+    SCALES are LAYER-RESIDENT (round 4): each layer's whole (NB, 2, HKV,
+    BS) scale pool arrives in ONE copy (1 descriptor/layer instead of 2
+    per (request, column)) and the attention step gathers blocks by
     table index with in-VMEM page loads. Measured motivation: the paged
     premium is per-descriptor-slot SCALAR cost (~0.27 µs per
     check+start+wait triple — bs=128/MB=4 at 16.0 ms vs bs=256/MB=2 at
     11.5 with identical live bytes), so halving the slots is worth ~4
-    ms/step at MB=4.
+    ms/step at MB=4 — and the production geometry keeps descriptor count
+    low with LARGE blocks (bs=512, MB=2 at B=64).
+
+    K AND V ARE CO-LOCATED PER BLOCK (round 5): the pools are
+    (L, NB, 2, BS, flat) int8 / (L, NB, 2, HKV, BS) f32 — logical block
+    idx holds its K page (index 0 on dim 2) and V page (index 1)
+    adjacently, so ONE descriptor moves both (B·MB value descriptors per
+    layer instead of 2·B·MB). The ring slot is (2, RBP, SC, flat):
+    slicing dim 1 at 0/1 yields CONTIGUOUS (RBP, SC, flat) K and V
+    views, so the monolithic attention body (and its numerics) is
+    unchanged — the merge is purely a descriptor-count optimization.
+    Since descriptors, not bytes, are the measured premium, a "page" in
+    this framework is the K+V pair.
     """
     (L, B, S, D, F, HQ, HKV, HD, QO, TNQ, TNW, TNG, TK, RBP, MB, BS, nq,
-     na, nwo, ngu, ndn, eps, wmajor, silu_spread, inplace) = cfgk
+     na, nwo, ngu, ndn, eps, wmajor, silu_spread, inplace, G) = cfgk
     if inplace:
-        (kqp_out, ksp_out, vqp_out, vsp_out,
+        (kvp_out, kvsp_out,
          x_scr, h_scr, qkv_scr, q_scr, kcur_scr, vcur_scr, attn_scr,
          gu_scr, k8_scr, v8_scr, kscl_scr, vscl_scr,
-         kqb, vqb, ksl_all, vsl_all, kwst, vwst, ksst, vsst,
+         kvb, svl, kvwst, kvsst,
          rsem, ssem, wsem) = rest
     else:
         (x_scr, h_scr, qkv_scr, q_scr, kcur_scr, vcur_scr, attn_scr,
          gu_scr, k8_scr, v8_scr, kscl_scr, vscl_scr,
-         kqb, vqb, ksl_all, vsl_all, rsem, ssem) = rest
+         kvb, svl, rsem, ssem) = rest
 
     l = pl.program_id(0)
     t = pl.program_id(1)
@@ -573,11 +594,12 @@ def _paged_kernel_r4(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
     SC = MB * BS  # per-request KV capacity covered by the ring
 
     def pool_write_dmas(i):
-        """In-place cache writes for request block i: per request, the
-        8-slot int8 window of its CURRENT pool block (composed in kwst/
-        vwst) and that block's scale plane (composed in ksst/vsst from
-        the layer-resident scale buffer) go back to the aliased pool
-        buffers at the table-resolved block index."""
+        """In-place cache writes for request block i: per request, ONE
+        descriptor for the (2, 8, flat) K+V int8 window of its CURRENT
+        pool block (composed in kvwst) and ONE for that block's (2, HKV,
+        BS) scale planes (composed in kvsst from the layer-resident
+        buffer) go back to the aliased pool buffers at the
+        table-resolved block index."""
         dmas = []
         for rr in range(RBP):
             r = i * RBP + rr
@@ -587,39 +609,34 @@ def _paged_kernel_r4(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
             base8 = ((off % BS) // 8) * 8
             dmas.extend([
                 pltpu.make_async_copy(
-                    kwst.at[i, rr], kqp_out.at[l, blk, pl.ds(base8, 8)],
+                    kvwst.at[i, rr],
+                    kvp_out.at[l, blk, :, pl.ds(base8, 8)],
                     wsem.at[i, 0]),
                 pltpu.make_async_copy(
-                    ksst.at[i, rr], ksp_out.at[l, blk],
+                    kvsst.at[i, rr], kvsp_out.at[l, blk],
                     wsem.at[i, 1]),
-                pltpu.make_async_copy(
-                    vwst.at[i, rr], vqp_out.at[l, blk, pl.ds(base8, 8)],
-                    wsem.at[i, 2]),
-                pltpu.make_async_copy(
-                    vsst.at[i, rr], vsp_out.at[l, blk],
-                    wsem.at[i, 3]),
             ])
         return dmas
 
     def scale_layer_dmas(lx):
-        """Layer lx's WHOLE scale pools → the layer-resident buffers:
-        2 descriptors regardless of B/MB."""
+        """Layer lx's WHOLE (merged K|V) scale pool → the layer-resident
+        buffer: 1 descriptor regardless of B/MB."""
         return (
-            pltpu.make_async_copy(ks_any.at[lx], ksl_all, ssem.at[0, 0]),
-            pltpu.make_async_copy(vs_any.at[lx], vsl_all, ssem.at[0, 1]),
+            pltpu.make_async_copy(kvs_any.at[lx], svl, ssem.at[0, 0]),
         )
 
     def kv_block_dmas(lx, i):
-        """VALUE copies for request block i of layer lx: 2 streams × RBP
-        requests × LIVE table columns, each a single pool block. Returns
+        """KV copies for request block i of layer lx: RBP requests ×
+        LIVE table columns, each ONE (2, BS, flat) descriptor moving the
+        block's co-located K and V pages into ring slot i % G. Returns
         (live, dma) pairs — a column is live iff c <= the destination
         block index (lens // BS; tables cover lengths+1, and at a block
         boundary the write path composes its 8-slot window from ring
         region lens // BS, which must hold the DESTINATION block's real
         content). Dead columns (c > last) are SKIPPED at both start and
         wait — their ring regions hold stale int8 bytes, which only ever
-        meet masked/zero p (scales are layer-resident and always real, so
-        no NaN path exists) — saving up to MB× re-fetch at partial
+        meet masked/zero p (scales are layer-resident and always real,
+        so no NaN path exists) — saving up to MB× re-fetch at partial
         occupancy."""
         dmas = []
         for rr in range(RBP):
@@ -629,23 +646,19 @@ def _paged_kernel_r4(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
                 live = c <= last
                 idx = tables_ref[r, jnp.minimum(c, last)]
                 cols = pl.ds(c * BS, BS)
-                dmas.extend((live, d) for d in [
-                    pltpu.make_async_copy(kq_any.at[lx, idx],
-                                          kqb.at[i, rr, cols],
-                                          rsem.at[i, 0]),
-                    pltpu.make_async_copy(vq_any.at[lx, idx],
-                                          vqb.at[i, rr, cols],
-                                          rsem.at[i, 1]),
-                ])
+                dmas.append((live, pltpu.make_async_copy(
+                    kv_any.at[lx, idx], kvb.at[i % G, :, rr, cols],
+                    rsem.at[i % G, 0])))
         return dmas
 
     @pl.when((l == 0) & (t == 0))
     def _():
         x_scr[:] = x0_ref[...].astype(jnp.float32)
-        # layer 0 has no earlier slack window: issue its blocks now
+        # layer 0 has no earlier slack window: issue its first G request
+        # blocks now (G == na: all of them)
         for d in scale_layer_dmas(0):
             d.start(priority=1)
-        for i in range(na):
+        for i in range(G):
             for live, d in kv_block_dmas(0, i):
                 @pl.when(live)
                 def _(d=d):
@@ -670,13 +683,28 @@ def _paged_kernel_r4(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
         for d in scale_layer_dmas(l + 1):
             d.start(priority=1)
 
-    for i_ in range(na):
-        @pl.when((l < L - 1) & (t == P_DN + i_))
+    # Rotating-ring refill schedule (round 5; mirrors the dense kvp
+    # rotation): ring slot i % G frees right after its previous occupant's
+    # attention step, so each block's refill is issued ONE step after
+    # that. Consumption order of slot s: blocks s, s+G, ..., na-G+s within
+    # a layer, then the next layer's block s. All at background priority —
+    # foreground copies would delay the 1-step-lookahead weight tiles and
+    # stall the MXU (see the dense kvp path).
+    for i_ in range(G, na):
+        # same-layer blocks >= G: previous occupant of slot i % G is
+        # block i - G, consumed at attention step P_ATTN + (i - G)
+        @pl.when(t == P_ATTN + (i_ - G) + 1)
         def _(i=i_):
-            # background priority: foreground copies would delay the
-            # 1-step-lookahead weight tiles and stall the MXU (see the
-            # dense kvp path)
-            for live, d in kv_block_dmas(l + 1, i):
+            for live, d in kv_block_dmas(l, i):
+                @pl.when(live)
+                def _(d=d):
+                    d.start(priority=1)
+    for j_ in range(G):
+        # next layer's first G blocks: slot j's last occupant this layer
+        # is block na - G + j
+        @pl.when((l < L - 1) & (t == P_ATTN + (na - G + j_) + 1))
+        def _(j=j_):
+            for live, d in kv_block_dmas(l + 1, j):
                 @pl.when(live)
                 def _(d=d):
                     d.start(priority=1)
@@ -758,8 +786,8 @@ def _paged_kernel_r4(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
             @pl.when(live)
             def _(d=d):
                 d.wait()
-        kq = kqb[i]                                       # (RBP, SC, flat)
-        vq = vqb[i]
+        kq = kvb[i % G, 0]                                # (RBP, SC, flat)
+        vq = kvb[i % G, 1]
         # gather each request's scale blocks from the layer-resident pool
         # by table index (in-VMEM page loads — no descriptors); dead
         # columns clamp to the last live block, masked below
@@ -770,8 +798,8 @@ def _paged_kernel_r4(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
             kparts, vparts = [], []
             for c in range(MB):
                 idx = tables_ref[r, jnp.minimum(c, last)]
-                kparts.append(ksl_all[idx])               # (HKV, BS)
-                vparts.append(vsl_all[idx])
+                kparts.append(svl[idx, 0])                # (HKV, BS)
+                vparts.append(svl[idx, 1])
             ks_rows.append(jnp.concatenate(kparts, axis=-1))
             vs_rows.append(jnp.concatenate(vparts, axis=-1))
         ks = jnp.stack(ks_rows)                           # (RBP, HKV, SC)
@@ -838,25 +866,25 @@ def _paged_kernel_r4(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
                 c = off // BS
                 base8 = ((off % BS) // 8) * 8
                 ring0 = c * BS + base8
-                win_k = kqb[i, rr, pl.ds(ring0, 8), :]    # (8, flat)
-                win_v = vqb[i, rr, pl.ds(ring0, 8), :]
+                win_k = kvb[i % G, 0, rr, pl.ds(ring0, 8), :]  # (8, flat)
+                win_v = kvb[i % G, 1, rr, pl.ds(ring0, 8), :]
                 sel = (lax.broadcasted_iota(jnp.int32, (8, 1), 0) + base8
                        == off % BS)
                 k8r = k8g[rr:rr + 1, :]                   # (1, flat)
                 v8r = v8g[rr:rr + 1, :]
-                kwst[i, rr] = jnp.where(sel, k8r, win_k)
-                vwst[i, rr] = jnp.where(sel, v8r, win_v)
+                kvwst[i, rr, 0] = jnp.where(sel, k8r, win_k)
+                kvwst[i, rr, 1] = jnp.where(sel, v8r, win_v)
                 lane = lax.broadcasted_iota(jnp.int32, (HKV, BS), 1)
                 ksl = kslg[rr:rr + 1, :].reshape(HKV, 1)
                 vsl = vslg[rr:rr + 1, :].reshape(HKV, 1)
-                # compose the current block's scale plane from the
+                # compose the current block's scale planes from the
                 # layer-resident buffer + the new token's lane into the
                 # write staging (DMA'd back to the pool at P_GU)
                 cur_blk = tables_ref[r, c]
-                ksst[i, rr] = jnp.where(lane == off % BS, ksl,
-                                        ksl_all[cur_blk])
-                vsst[i, rr] = jnp.where(lane == off % BS, vsl,
-                                        vsl_all[cur_blk])
+                kvsst[i, rr, 0] = jnp.where(lane == off % BS, ksl,
+                                            svl[cur_blk, 0])
+                kvsst[i, rr, 1] = jnp.where(lane == off % BS, vsl,
+                                            svl[cur_blk, 1])
             for d in pool_write_dmas(i):
                 d.start(priority=1)
 
@@ -902,12 +930,41 @@ def _paged_kernel_r4(tables_ref, lens_sp_ref, x0_ref, ln1_ref, ln2_ref,
         xout_ref[...] = x_scr[...].astype(xout_ref.dtype)
 
 
+def _paged_ring_slots(B: int, MB: int, BS: int, flat: int, NB: int,
+                      hkv: int) -> int | None:
+    """Ring depth G for the paged value rings: the largest divisor of
+    na = B/RBP whose rotating rings (+ the layer-resident scale pools +
+    write staging) fit the VMEM ring budget. G == na is the full-depth
+    schedule (every request block owns a slot — maximal prefetch slack);
+    smaller G trades slack (G-1 attention steps of refill lead instead
+    of a full layer) for rings whose size is INDEPENDENT of na — which
+    is what lets the fused path cover production KV capacities (round
+    5; the r4 full-depth rings capped capacity at 512 tokens at B=64).
+    G >= 2 whenever na > 1 so every refill has at least one step of
+    lead."""
+    RBP = _paged_rbp(B, MB)
+    if RBP is None:
+        return None
+    na = B // RBP
+    fixed = (2 * NB * hkv * BS * 4          # layer-resident scale pools
+             + 2 * B * 8 * flat             # int8 write staging
+             + 2 * B * hkv * BS * 4)        # scale write staging
+    budget = (68 << 20) - fixed
+    slot = 2 * RBP * MB * BS * flat         # K+V ring bytes per slot
+    for g in sorted((d for d in range(1, na + 1) if na % d == 0),
+                    reverse=True):
+        if g == 1 and na > 1:
+            continue  # zero refill lead — the gate treats it as no-fit
+        if g * slot <= budget:
+            return g
+    return None
+
+
 def fused_paged_decode_ok(cfg, B: int, MB: int, BS: int,
                           NB: int | None = None) -> bool:
     """Static eligibility of the fused paged path (mirrors the dense
-    _fused_decode_ok gates): INT8 pools with TPU-tileable shapes, ring
-    buffers + the layer-resident scale pools that fit VMEM, and enough
-    DOWN-phase steps to issue the next layer's block-table prefetch.
+    _fused_decode_ok gates): INT8 pools with TPU-tileable shapes and a
+    rotating-ring depth (+ layer-resident scale pools) that fits VMEM.
     NB: total pool rows (incl. trash block); defaults to a B·MB+spares
     estimate when the caller doesn't know the pool yet."""
     if getattr(cfg, "num_experts", 0) > 0 or cfg.act_quant != "none":
@@ -918,21 +975,11 @@ def fused_paged_decode_ok(cfg, B: int, MB: int, BS: int,
     # must be lane-aligned (128)
     if BS % 128 != 0:
         return False
-    RBP = _paged_rbp(B, MB)
-    if RBP is None:
-        return False
-    na = B // RBP
-    TK = _pick_tile(cfg.intermediate_dim, 512)
-    ndn = cfg.intermediate_dim // TK
-    if ndn < na:
-        return False
     flat = cfg.num_kv_heads * cfg.head_dim
     if NB is None:
         NB = B * MB + 33
-    ring = (2 * B * MB * BS * flat                      # int8 value rings
-            + 2 * NB * cfg.num_kv_heads * BS * 4        # layer scales
-            + 2 * B * (8 * flat + cfg.num_kv_heads * BS * 4))  # staging
-    return ring <= (68 << 20)
+    return _paged_ring_slots(B, MB, BS, flat, NB,
+                             cfg.num_kv_heads) is not None
 
 
 def _paged_rbp(B: int, MB: int) -> int | None:
@@ -946,17 +993,21 @@ def _paged_rbp(B: int, MB: int) -> int | None:
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "tn_target",
                                              "wmajor", "silu_spread",
-                                             "inplace"))
-def fused_paged_decode_step(params, x, kq_pool, ks_pool, vq_pool, vs_pool,
+                                             "inplace", "ring_slots"))
+def fused_paged_decode_step(params, x, kv_pool, kvs_pool,
                             tables, lengths, rope_cos_g, rope_sin_g, cfg,
                             interpret: bool | None = None,
                             tn_target: int = 512, wmajor: bool = False,
                             silu_spread: bool = False,
-                            inplace: bool = False):
+                            inplace: bool = False,
+                            ring_slots: int | None = None):
     """One full decode step over all layers, KV in paged INT8 pools.
 
-    kq_pool/vq_pool: (L, NB, BS, Hkv·hd) int8; ks_pool/vs_pool:
-    (L, NB, Hkv, BS) f32 (QuantKV paged layouts, serve/paged_engine.py).
+    kv_pool: (L, NB, 2, BS, Hkv·hd) int8 — each block's K page (dim-2
+    index 0) and V page (index 1) co-located so ONE DMA descriptor moves
+    both (descriptors, not bytes, are the measured paged premium);
+    kvs_pool: (L, NB, 2, Hkv, BS) f32 scales, same pairing (merged
+    QuantKV paged layouts, serve/paged_engine.py).
     tables: (B, MB) int32; lengths: (B,) tokens already cached (the new
     token lands at `lengths`). Block tables must cover lengths+1.
 
@@ -965,14 +1016,15 @@ def fused_paged_decode_step(params, x, kq_pool, ks_pool, vq_pool, vs_pool,
 
     inplace=True: the kernel ALSO writes the new K/V into the pools itself
     (aliased buffers, manual window DMAs at the attention steps) and
-    additionally returns (kq_pool', ks_pool', vq_pool', vs_pool') — the
-    caller uses those directly and skips the XLA scatter, which measured
-    +6.8 ms/step at 7B B=64 (docs/PERF.md round-3 paged section).
+    additionally returns (kv_pool', kvs_pool') — the caller uses those
+    directly and skips the XLA scatter, which measured +6.8 ms/step at
+    7B B=64 (docs/PERF.md round-3 paged section).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, D = x.shape
-    L, NB, BS, flat_hd = kq_pool.shape
+    L, NB, _two, BS, flat_hd = kv_pool.shape
+    assert _two == 2 and kvs_pool.shape[2] == 2
     MB = tables.shape[1]
     HQ, HKV, HD = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     F = cfg.intermediate_dim
@@ -980,6 +1032,11 @@ def fused_paged_decode_step(params, x, kq_pool, ks_pool, vq_pool, vs_pool,
     assert flat_hd == HKV * HD
     RBP = _paged_rbp(B, MB)
     assert RBP is not None, f"no RBP for B={B} MB={MB}"
+    # rotating value-ring depth (see _paged_ring_slots); ring_slots
+    # overrides for tests exercising rotation at interpret-mode shapes
+    G = ring_slots or _paged_ring_slots(B, MB, BS, flat_hd, NB, HKV)
+    assert G is not None and (B // RBP) % G == 0, \
+        f"no ring depth for B={B} MB={MB} BS={BS} (VMEM)"
 
     TNQ = _pick_tile(QO, tn_target)
     TNW = _pick_tile(D, tn_target)
@@ -997,8 +1054,8 @@ def fused_paged_decode_step(params, x, kq_pool, ks_pool, vq_pool, vs_pool,
     # S slot in the tuple is unused by the paged kernel (capacity = MB·BS)
     cfgk = (L, B, 0, D, F, HQ, HKV, HD, QO, TNQ, TNW, TNG, TK, RBP, MB, BS,
             nq, na, nwo, ngu, ndn, cfg.norm_eps, wmajor, silu_spread,
-            inplace)
-    kernel = functools.partial(_paged_kernel_r4, cfgk=cfgk)
+            inplace, G)
+    kernel = functools.partial(_paged_kernel_r5, cfgk=cfgk)
 
     def win(lo, hi, maker):
         return lambda l, t, tb, ln: maker(l, jnp.clip(t - lo, 0, hi - lo - 1))
@@ -1024,10 +1081,8 @@ def fused_paged_decode_step(params, x, kq_pool, ks_pool, vq_pool, vs_pool,
         pl.BlockSpec((B, HD // 2), lambda l, t, tb, ln: (0, 0)),      # sin
         pl.BlockSpec((B, 1), lambda l, t, tb, ln: (0, 0)),            # lens
         # KV pools: raw HBM refs read by the kernel's block-table DMA
-        pl.BlockSpec(memory_space=pl.ANY),                            # kq
-        pl.BlockSpec(memory_space=pl.ANY),                            # ks
-        pl.BlockSpec(memory_space=pl.ANY),                            # vq
-        pl.BlockSpec(memory_space=pl.ANY),                            # vs
+        pl.BlockSpec(memory_space=pl.ANY),                            # kv
+        pl.BlockSpec(memory_space=pl.ANY),                            # kvs
     ]
 
     out_specs = [
@@ -1046,16 +1101,14 @@ def fused_paged_decode_step(params, x, kq_pool, ks_pool, vq_pool, vs_pool,
     ]
     aliases = {}
     if inplace:
-        out_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 4
+        out_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 2
         out_shape += [
-            jax.ShapeDtypeStruct(kq_pool.shape, jnp.int8),
-            jax.ShapeDtypeStruct(ks_pool.shape, jnp.float32),
-            jax.ShapeDtypeStruct(vq_pool.shape, jnp.int8),
-            jax.ShapeDtypeStruct(vs_pool.shape, jnp.float32),
+            jax.ShapeDtypeStruct(kv_pool.shape, jnp.int8),
+            jax.ShapeDtypeStruct(kvs_pool.shape, jnp.float32),
         ]
         # input indices include the 2 scalar-prefetch args; pools are the
-        # last four inputs -> in-place aliased to outputs 5-8
-        aliases = {16: 5, 17: 6, 18: 7, 19: 8}
+        # last two inputs -> in-place aliased to outputs 5-6
+        aliases = {16: 5, 17: 6}
 
     bf = jnp.bfloat16
     lens2 = jnp.asarray(lengths, jnp.int32).reshape(B, 1)
@@ -1079,20 +1132,18 @@ def fused_paged_decode_step(params, x, kq_pool, ks_pool, vq_pool, vs_pool,
                 pltpu.VMEM((B, HKV * HD), jnp.int8),    # v current int8
                 pltpu.VMEM((B, HKV), jnp.float32),      # k scale
                 pltpu.VMEM((B, HKV), jnp.float32),      # v scale
-                pltpu.VMEM((na, RBP, MB * BS, flat_hd), jnp.int8),  # kq ring
-                pltpu.VMEM((na, RBP, MB * BS, flat_hd), jnp.int8),  # vq ring
-                # layer-resident scale pools (2 descriptors/layer)
-                pltpu.VMEM((NB, HKV, BS), jnp.float32),  # ks layer
-                pltpu.VMEM((NB, HKV, BS), jnp.float32),  # vs layer
+                # K+V co-located ring: slicing dim 1 at 0/1 yields
+                # contiguous (RBP, SC, flat) K / V views
+                pltpu.VMEM((G, 2, RBP, MB * BS, flat_hd), jnp.int8),
+                # layer-resident merged scale pool (1 descriptor/layer)
+                pltpu.VMEM((NB, 2, HKV, BS), jnp.float32),
                 *([
-                    pltpu.VMEM((na, RBP, 8, flat_hd), jnp.int8),  # k stage
-                    pltpu.VMEM((na, RBP, 8, flat_hd), jnp.int8),  # v stage
-                    pltpu.VMEM((na, RBP, HKV, BS), jnp.float32),  # ks stage
-                    pltpu.VMEM((na, RBP, HKV, BS), jnp.float32),  # vs stage
+                    pltpu.VMEM((na, RBP, 2, 8, flat_hd), jnp.int8),  # kv st
+                    pltpu.VMEM((na, RBP, 2, HKV, BS), jnp.float32),  # s st
                 ] if inplace else []),
-                pltpu.SemaphoreType.DMA((na, 2)),       # block-read sems
-                pltpu.SemaphoreType.DMA((1, 2)),        # layer-scale sems
-                *([pltpu.SemaphoreType.DMA((na, 4))]    # pool-write sems
+                pltpu.SemaphoreType.DMA((G, 1)),        # block-read sems
+                pltpu.SemaphoreType.DMA((1, 1)),        # layer-scale sem
+                *([pltpu.SemaphoreType.DMA((na, 2))]    # pool-write sems
                   if inplace else []),
             ],
         ),
@@ -1113,7 +1164,7 @@ def fused_paged_decode_step(params, x, kq_pool, ks_pool, vq_pool, vs_pool,
     )(tables.astype(jnp.int32), jnp.asarray(lengths, jnp.int32),
       x, params["ln1"][:, None], params["ln2"][:, None],
       wqkv.q, wqkv.s, wo.q, wo.s, wgu.q, wgu.s, wdn.q, wdn.s,
-      rope_cos_g, rope_sin_g, lens2, kq_pool, ks_pool, vq_pool, vs_pool)
+      rope_cos_g, rope_sin_g, lens2, kv_pool, kvs_pool)
     return tuple(out)
 
 

@@ -159,8 +159,8 @@ def paged_decode_attention(q: jnp.ndarray, k_pool: jnp.ndarray,
       q, k_pool, v_pool)
 
 
-def _int8_paged_kernel(lref, tables_ref, lens_ref, q_ref, kq_ref, ks_ref,
-                       vq_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr, *,
+def _int8_paged_kernel(lref, tables_ref, lens_ref, q_ref, kv_ref, kvs_ref,
+                       o_ref, m_scr, l_scr, acc_scr, *,
                        block_size, scale, num_kv_heads, group, d):
     b = pl.program_id(0)
     j = pl.program_id(1)
@@ -178,10 +178,10 @@ def _int8_paged_kernel(lref, tables_ref, lens_ref, q_ref, kq_ref, ks_ref,
     @pl.when(live)
     def _():
         q = q_ref[0].astype(jnp.float32)     # (Hq, d)
-        kq = kq_ref[0, 0]                    # (bs, Hkv·d) int8 — flat layout
-        vq = vq_ref[0, 0]
-        ks = ks_ref[0, 0]                    # (Hkv, bs) f32 — transposed
-        vs = vs_ref[0, 0]
+        kq = kv_ref[0, 0, 0]                 # (bs, Hkv·d) int8 — flat layout
+        vq = kv_ref[0, 0, 1]
+        ks = kvs_ref[0, 0, 0]                # (Hkv, bs) f32 — transposed
+        vs = kvs_ref[0, 0, 1]
 
         s_parts = []
         for h in range(num_kv_heads):
@@ -220,32 +220,34 @@ def _int8_paged_kernel(lref, tables_ref, lens_ref, q_ref, kq_ref, ks_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def int8_paged_decode_attention(q: jnp.ndarray, kq_pool: jnp.ndarray,
-                                ks_pool: jnp.ndarray, vq_pool: jnp.ndarray,
-                                vs_pool: jnp.ndarray,
+def int8_paged_decode_attention(q: jnp.ndarray, kv_pool: jnp.ndarray,
+                                kvs_pool: jnp.ndarray,
                                 block_tables: jnp.ndarray,
                                 context_lens: jnp.ndarray,
                                 layer: jnp.ndarray | None = None,
                                 interpret: bool | None = None) -> jnp.ndarray:
     """Paged decode attention over INT8 pools with in-kernel dequant.
 
-    Same indirection design as paged_decode_attention, in the QuantKV
-    native layouts: kq_pool/vq_pool (L, num_blocks, bs, Hkv·d) int8 FLAT,
-    ks_pool/vs_pool (L, num_blocks, Hkv, bs) f32 TRANSPOSED (see
-    models/transformer.py QuantKV). Scales are applied to score/probability
-    rows, so pool bytes ride to the MXU as bare int8→bf16 casts — the cache
-    crosses HBM at 1 byte/element (the SURVEY §2.6 INT8-KV fusion, paged).
+    Same indirection design as paged_decode_attention, in the MERGED
+    QuantKV paged layouts (round 5): kv_pool (L, num_blocks, 2, bs,
+    Hkv·d) int8 FLAT with each block's K page (dim-2 index 0) and V page
+    (index 1) co-located, kvs_pool (L, num_blocks, 2, Hkv, bs) f32
+    TRANSPOSED (see models/transformer.py QuantKV + the fused paged
+    kernel's descriptor-count rationale). Scales are applied to
+    score/probability rows, so pool bytes ride to the MXU as bare
+    int8→bf16 casts — the cache crosses HBM at 1 byte/element (the
+    SURVEY §2.6 INT8-KV fusion, paged).
     q: (B, Hq, d); returns (B, Hq, d)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, hq, d = q.shape
-    if kq_pool.ndim == 3:  # unstacked → stacked L=1
-        kq_pool, vq_pool = kq_pool[None], vq_pool[None]
-        ks_pool, vs_pool = ks_pool[None], vs_pool[None]
+    if kv_pool.ndim == 4:  # unstacked → stacked L=1
+        kv_pool, kvs_pool = kv_pool[None], kvs_pool[None]
         layer = jnp.int32(0)
     assert layer is not None
-    L, nb, bs, flat_hd = kq_pool.shape
-    hkv = ks_pool.shape[-2]
+    L, nb, _two, bs, flat_hd = kv_pool.shape
+    assert _two == 2
+    hkv = kvs_pool.shape[-2]
     assert flat_hd == hkv * d
     assert hq % hkv == 0
     group = hq // hkv
@@ -256,14 +258,15 @@ def int8_paged_decode_attention(q: jnp.ndarray, kq_pool: jnp.ndarray,
     if not interpret and d % 128 != 0:
         # per-head lane slices need 128-aligned offsets on TPU: dequantize
         # this layer's pool and run the bf16 paged kernel instead
-        def dq(pq, ps):
-            pl_q = jax.lax.dynamic_index_in_dim(pq, layer, 0, keepdims=False)
-            pl_s = jax.lax.dynamic_index_in_dim(ps, layer, 0, keepdims=False)
+        def dq(which):
+            pl_q = jax.lax.dynamic_index_in_dim(kv_pool, layer, 0,
+                                                keepdims=False)[:, which]
+            pl_s = jax.lax.dynamic_index_in_dim(kvs_pool, layer, 0,
+                                                keepdims=False)[:, which]
             vals = pl_q.reshape(nb, bs, hkv, d).astype(jnp.float32)
             return (vals * pl_s.transpose(0, 2, 1)[..., None]).astype(q.dtype)
 
-        return paged_decode_attention(q, dq(kq_pool, ks_pool),
-                                      dq(vq_pool, vs_pool), block_tables,
+        return paged_decode_attention(q, dq(0), dq(1), block_tables,
                                       context_lens)
 
     kernel = functools.partial(_int8_paged_kernel, block_size=bs, scale=scale,
@@ -272,7 +275,7 @@ def int8_paged_decode_attention(q: jnp.ndarray, kq_pool: jnp.ndarray,
     def kv_index(bb, j, lref, tables, lens):
         last = jnp.maximum((lens[bb] - 1) // bs, 0)
         jj = jnp.minimum(j, last)
-        return (lref[0], tables[bb, jj], 0, 0)
+        return (lref[0], tables[bb, jj], 0, 0, 0)
 
     return pl.pallas_call(
         kernel,
@@ -282,10 +285,8 @@ def int8_paged_decode_attention(q: jnp.ndarray, kq_pool: jnp.ndarray,
             in_specs=[
                 pl.BlockSpec((1, hq, d), lambda bb, j, lref, tables, lens:
                              (bb, 0, 0)),
-                pl.BlockSpec((1, 1, bs, flat_hd), kv_index),
-                pl.BlockSpec((1, 1, hkv, bs), kv_index),
-                pl.BlockSpec((1, 1, bs, flat_hd), kv_index),
-                pl.BlockSpec((1, 1, hkv, bs), kv_index),
+                pl.BlockSpec((1, 1, 2, bs, flat_hd), kv_index),
+                pl.BlockSpec((1, 1, 2, hkv, bs), kv_index),
             ],
             out_specs=pl.BlockSpec((1, hq, d),
                                    lambda bb, j, lref, tables, lens:
@@ -303,7 +304,7 @@ def int8_paged_decode_attention(q: jnp.ndarray, kq_pool: jnp.ndarray,
             transcendentals=b * hq * max_blocks * bs),
         interpret=interpret,
     )(lidx, block_tables.astype(jnp.int32), context_lens.astype(jnp.int32),
-      q, kq_pool, ks_pool, vq_pool, vs_pool)
+      q, kv_pool, kvs_pool)
 
 
 def paged_write(k_pool, v_pool, k_new, v_new, block_ids, offsets):

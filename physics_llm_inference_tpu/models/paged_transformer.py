@@ -56,13 +56,13 @@ def _paged_fused_ok(params, cfg: ModelConfig, b: int, k_pools,
             and jax.default_backend() == "tpu"
             and cfg.attention_impl != "dense" and cfg.tp_axis is None):
         return False
-    if not isinstance(k_pools, QuantKV):
+    if not (isinstance(k_pools, QuantKV) and k_pools.q.ndim == 5):
         return False
     for name in ("wqkv", "wo", "w_gate_up", "w_down"):
         w = params["blocks"].get(name)
         if not (isinstance(w, QuantizedTensor) and w.q.ndim == 3):
             return False
-    bs = k_pools.q.shape[2]
+    bs = k_pools.q.shape[3]
     return fused_paged_decode_ok(cfg, b, tables.shape[1], bs,
                                  NB=k_pools.q.shape[1])
 
@@ -80,7 +80,11 @@ def _paged_decode_step_impl(params, tokens: jnp.ndarray,
     """
     b = tokens.shape[0]
     quantized = isinstance(k_pools, QuantKV)
-    bs = (k_pools.q if quantized else k_pools).shape[2]
+    # quantized pools are MERGED (round 5): k_pools carries the K+V pair
+    # (L, NB, 2, BS, flat) / (L, NB, 2, HKV, BS) and v_pools is None —
+    # K and V co-located per block so the fused kernel moves both with
+    # one DMA descriptor
+    bs = k_pools.q.shape[3] if quantized else k_pools.shape[2]
     hq, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     if _paged_fused_ok(params, cfg, b, k_pools, tables):
@@ -89,18 +93,19 @@ def _paged_decode_step_impl(params, tokens: jnp.ndarray,
         # DMA (kernels/fused_decode.fused_paged_decode_step). inplace=True:
         # the kernel writes the new K/V into the pools itself (aliased
         # buffers) — the XLA pool-scatter it replaces measured +6.8 ms/step
-        # at 7B B=64.
+        # at 7B B=64. The merged-pool container (k_pools is the KV pair,
+        # v_pools is None) carries (L, NB, 2, BS, flat) / (L, NB, 2, HKV,
+        # BS) arrays — see serve/paged_engine.py.
         from ..kernels.fused_decode import fused_paged_decode_step
 
         cos, sin = _rope_tables(cfg)
         x0 = embed_lookup(params, tokens, cfg)
-        (x_out, _k_new, _ksc, _v_new, _vsc, kq2, ks2, vq2, vs2) = \
+        (x_out, _k_new, _ksc, _v_new, _vsc, kv2, kvs2) = \
             fused_paged_decode_step(
-                params["blocks"], x0, k_pools.q, k_pools.s, v_pools.q,
-                v_pools.s, tables, lengths, cos[lengths], sin[lengths],
+                params["blocks"], x0, k_pools.q, k_pools.s,
+                tables, lengths, cos[lengths], sin[lengths],
                 cfg=cfg, inplace=True)
-        k_pools = QuantKV(q=kq2, s=ks2)
-        v_pools = QuantKV(q=vq2, s=vs2)
+        k_pools = QuantKV(q=kv2, s=kvs2)
         logits = lm_logits(x_out[:, None, :], params, cfg)
         return logits[:, 0], k_pools, v_pools
 
@@ -127,19 +132,20 @@ def _paged_decode_step_impl(params, tokens: jnp.ndarray,
             q = apply_rope(q, cos, sin, positions)
             k = apply_rope(k, cos, sin, positions)
         if quantized:
-            # QuantKV pools: flat int8 values + transposed scales
+            # merged QuantKV pools: flat int8 values + transposed scales,
+            # K at dim-2 index 0, V at index 1
             kq8, ksc = quantize_int8(k[:, 0], axis=-1)
             vq8, vsc = quantize_int8(v[:, 0], axis=-1)
             k_pools = QuantKV(
-                q=k_pools.q.at[l, block_ids, offsets].set(
-                    kq8.reshape(b, hkv * hd)),
-                s=k_pools.s.at[l, block_ids, :, offsets].set(ksc[..., 0]))
-            v_pools = QuantKV(
-                q=v_pools.q.at[l, block_ids, offsets].set(
+                q=k_pools.q.at[l, block_ids, 0, offsets].set(
+                    kq8.reshape(b, hkv * hd)).at[l, block_ids, 1,
+                                                 offsets].set(
                     vq8.reshape(b, hkv * hd)),
-                s=v_pools.s.at[l, block_ids, :, offsets].set(vsc[..., 0]))
+                s=k_pools.s.at[l, block_ids, 0, :, offsets].set(
+                    ksc[..., 0]).at[l, block_ids, 1, :, offsets].set(
+                    vsc[..., 0]))
             attn = int8_paged_decode_attention(
-                q[:, 0], k_pools.q, k_pools.s, v_pools.q, v_pools.s,
+                q[:, 0], k_pools.q, k_pools.s,
                 tables, lengths + 1, layer=l)
         else:
             k_pools = k_pools.at[l, block_ids, offsets].set(
@@ -238,7 +244,9 @@ def paged_prefill_chunk_impl(params, ids: jnp.ndarray,
         nvalid = jnp.asarray(nvalid).reshape(1)
     R, c = ids.shape
     quantized = isinstance(k_pools, QuantKV)
-    bs = (k_pools.q if quantized else k_pools).shape[2]
+    # quantized pools are MERGED: k_pools carries the K+V pair, v_pools
+    # is None (see _paged_decode_step_impl)
+    bs = k_pools.q.shape[3] if quantized else k_pools.shape[2]
     hq, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     max_blocks = table.shape[1]
     prefix_cap = max_blocks * bs  # static gather width
@@ -271,24 +279,25 @@ def paged_prefill_chunk_impl(params, ids: jnp.ndarray,
             kq8, ksc = quantize_int8(k.reshape(R * c, hkv, hd), axis=-1)
             vq8, vsc = quantize_int8(v.reshape(R * c, hkv, hd), axis=-1)
             k_pools = QuantKV(
-                q=k_pools.q.at[l, blk, off].set(
-                    kq8.reshape(R * c, hkv * hd), mode="drop"),
-                s=k_pools.s.at[l, blk, :, off].set(ksc[..., 0], mode="drop"))
-            v_pools = QuantKV(
-                q=v_pools.q.at[l, blk, off].set(
+                q=k_pools.q.at[l, blk, 0, off].set(
+                    kq8.reshape(R * c, hkv * hd), mode="drop")
+                .at[l, blk, 1, off].set(
                     vq8.reshape(R * c, hkv * hd), mode="drop"),
-                s=v_pools.s.at[l, blk, :, off].set(vsc[..., 0], mode="drop"))
+                s=k_pools.s.at[l, blk, 0, :, off].set(ksc[..., 0],
+                                                      mode="drop")
+                .at[l, blk, 1, :, off].set(vsc[..., 0], mode="drop"))
 
-            def gather_dq(pools):
+            def gather_dq(pools, which):
                 pq = lax.dynamic_index_in_dim(pools.q, l, 0, keepdims=False)
                 ps = lax.dynamic_index_in_dim(pools.s, l, 0, keepdims=False)
-                seq = pq[table].reshape(R, max_blocks, bs, hkv, hd)
-                sc = ps[table].transpose(0, 1, 3, 2)[..., None]
+                seq = pq[table][:, :, which].reshape(
+                    R, max_blocks, bs, hkv, hd)
+                sc = ps[table][:, :, which].transpose(0, 1, 3, 2)[..., None]
                 return (seq.astype(jnp.float32)
                         * sc.reshape(R, max_blocks, bs, hkv, 1)).reshape(
                             R, prefix_cap, hkv, hd)
 
-            k_seq, v_seq = gather_dq(k_pools), gather_dq(v_pools)
+            k_seq, v_seq = gather_dq(k_pools, 0), gather_dq(k_pools, 1)
         else:
             k_pools = k_pools.at[l, blk, off].set(
                 k.reshape(R * c, hkv, hd).astype(k_pools.dtype),

@@ -412,6 +412,7 @@ def block_forward(
     slots: jnp.ndarray | None = None,
     valid_from: jnp.ndarray | None = None,
     layer: jnp.ndarray | None = None,
+    k_limit: int | None = None,
 ):
     """One transformer block: pre-norm GQA + residual, pre-norm SwiGLU +
     residual (ref ch01/transformer.py:34-44).
@@ -507,6 +508,15 @@ def block_forward(
         else:
             kq = _cache_read_layer(k_cache, layer, q.dtype).transpose(0, 2, 1, 3)
             vq = _cache_read_layer(v_cache, layer, q.dtype).transpose(0, 2, 1, 3)
+        if k_limit is not None and k_limit < kq.shape[2]:
+            # STATIC bound on attendable cache slots (e.g. one-shot prefill
+            # of P tokens into a P+decode cache): slicing before attention
+            # drops the dead tail's dequant + scores + softmax — the mask
+            # already excluded it, but masked work still costs MXU/VPU
+            # time (~0.5 ms/layer at the 7B headline prefill, round-5
+            # prefill attribution)
+            kq = kq[:, :, :k_limit]
+            vq = vq[:, :, :k_limit]
         k_slots = jnp.arange(kq.shape[2])
 
     qT = q.transpose(0, 2, 1, 3)
@@ -603,6 +613,7 @@ def forward(
     valid_from: jnp.ndarray | None = None,
     last_only: bool = False,
     greedy_head: bool = False,
+    k_limit: int | None = None,
 ):
     """Model forward: embed → scan blocks → norm → lm_head
     (ref ch01/transformer.py:80-87; cached: ch02/cached_generation.py:174-187).
@@ -683,7 +694,7 @@ def forward(
             out, (k_all, v_all) = block_forward(
                 layer_view(params["blocks"], l), x, cfg, rope_cos, rope_sin,
                 positions, kv=(k_all, v_all), start=kv.start, slots=slots,
-                valid_from=valid_from, layer=l)
+                valid_from=valid_from, layer=l, k_limit=k_limit)
             return (out, k_all, v_all), None
 
         if s == 1 and cfg.decode_unroll:

@@ -137,16 +137,23 @@ def tp_prepare_params(params, cfg, mesh: Mesh, axis: str = "model"):
 
 
 def tp_kv_spec(quantized: bool, data: str | None = "data",
-               model: str | None = "model"):
+               model: str | None = "model", paged_merged: bool = False):
     """PartitionSpec for a slot/paged KV cache pytree: requests (axis 1)
     sharded over `data`, KV heads sharded over `model`.
 
     Dense cache (L, B, S, Hkv, hd) → one P; QuantKV (flat int8 values
     (L, B, S, Hkv·hd) head-major + transposed scales (L, B, Hkv, S)) → a
     QuantKV of Ps. The flat value layout is head-major, so a model-axis
-    shard of the last dim is exactly a contiguous group of KV heads."""
+    shard of the last dim is exactly a contiguous group of KV heads.
+
+    paged_merged: the round-5 MERGED paged pools — values
+    (L, NB, 2, BS, Hkv·hd), scales (L, NB, 2, Hkv, BS) (K and V pages
+    co-located per block; serve/paged_engine.py)."""
     from ..models.transformer import QuantKV
 
+    if quantized and paged_merged:
+        return QuantKV(q=P(None, data, None, None, model),
+                       s=P(None, data, None, model, None))
     if quantized:
         return QuantKV(q=P(None, data, None, model),
                        s=P(None, data, model, None))

@@ -81,18 +81,25 @@ def _prefill(params, cfg: ModelConfig, ids, lens, kv: KVSlice):
     slots = jnp.broadcast_to(jnp.arange(p)[None, :], (b, p))
     positions = jnp.maximum(slots - (p - lens)[:, None], 0)
     valid_from = (p - lens).astype(jnp.int32)
+    # k_limit=p: prefill tokens occupy slots [0, p) — the decode tail of
+    # the cache is statically dead here, so attention skips it entirely
     logits, kv = forward(params, ids, cfg, kv=kv, positions=positions,
-                         slots=slots, valid_from=valid_from, last_only=True)
+                         slots=slots, valid_from=valid_from, last_only=True,
+                         k_limit=p)
     return logits[:, 0], kv, valid_from
 
 
 def _decode_scan(params, cfg: ModelConfig, kv: KVSlice, first_token, lens,
                  valid_from, rng, num_steps: int, temperature, top_k: int,
-                 top_p, stop_array, pad_id: int, greedy: bool = False):
+                 top_p, stop_array, pad_id: int, greedy: bool = False,
+                 prompt_bucket: int | None = None):
     """lax.scan over decode steps; emits (B, num_steps) tokens incl. the first."""
     b = first_token.shape[0]
     k_arr = kv.k.q if hasattr(kv.k, "q") else kv.k
-    p = k_arr.shape[2] - num_steps  # prompt bucket
+    # first decode slot = the prompt bucket; NOT derivable from the cache
+    # shape once caches are lane-aligned (shape[2] >= bucket + num_steps)
+    p = (prompt_bucket if prompt_bucket is not None
+         else k_arr.shape[2] - num_steps)
 
     def is_stop(tok):
         if stop_array is None:
@@ -132,15 +139,16 @@ def _decode_scan(params, cfg: ModelConfig, kv: KVSlice, first_token, lens,
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_steps", "top_k", "pad_id",
-                                   "has_stops", "has_top_p", "greedy"))
+                                   "has_stops", "has_top_p", "greedy",
+                                   "prompt_bucket"))
 def _decode_jit(params, cfg, kv, first_token, lens, valid_from, rng,
                 num_steps, temperature, top_k, top_p, stop_array, pad_id,
-                has_stops, has_top_p, greedy=False):
+                has_stops, has_top_p, greedy=False, prompt_bucket=None):
     return _decode_scan(params, cfg, kv, first_token, lens, valid_from, rng,
                         num_steps, temperature, top_k,
                         top_p if has_top_p else None,
                         stop_array if has_stops else None, pad_id,
-                        greedy=greedy)
+                        greedy=greedy, prompt_bucket=prompt_bucket)
 
 
 _prefill_jit = jax.jit(_prefill, static_argnames=("cfg",))
@@ -168,7 +176,14 @@ def cached_generate(
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     ids, lens = pad_and_stack(prompts, pad_id=pad_id, bucket=prompt_bucket)
     b, p = ids.shape
-    cache = KVCache.create(cfg, b, p + max_new_tokens, dtype=kv_dtype)
+    # cache length rounded up to a lane multiple: S feeds kernel tile maths
+    # (flash bk, int8-KV attention lane slices, fused-decode kvp gate) —
+    # an odd S like 1024+12 forced flash into a non-8-multiple KV tile that
+    # Mosaic rejects on hardware (caught by the round-5 verify drive);
+    # decode masks slots beyond q_slot, so over-allocation is free
+    s_total = -(-(p + max_new_tokens) // 128) * 128 \
+        if jax.default_backend() == "tpu" else p + max_new_tokens
+    cache = KVCache.create(cfg, b, s_total, dtype=kv_dtype)
 
     # On tunneled backends block_until_ready can early-ack one outstanding
     # dispatch; only a value readout drains the pipe — and that readout has
@@ -194,7 +209,7 @@ def cached_generate(
         params, cfg, kv, first, lens, valid_from, rng,
         max_new_tokens, jnp.float32(temperature), top_k,
         jnp.float32(top_p), stop_array, pad_id, bool(stop_tokens),
-        has_top_p, greedy=greedy))
+        has_top_p, greedy=greedy, prompt_bucket=p))
 
     tokens = np.array(tokens)  # writable copy (np.asarray views jax buffers read-only)
     gen_lens = np.full((b,), tokens.shape[1], dtype=np.int32)

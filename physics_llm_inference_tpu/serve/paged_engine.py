@@ -47,16 +47,21 @@ class PagedEngineConfig:
     test-sized): a 64-deep decode batch with 1024-token capacity per
     request. Tests override with smaller geometries."""
 
-    # block_size=128 (not 64): the fused paged megakernel's manual-DMA
-    # scale-ring slices must be 128-lane aligned
-    # (kernels/fused_decode.fused_paged_decode_ok), so 128 is the smallest
-    # block at which the DEFAULT-ON fused path actually engages. Finer
-    # radix sharing granularity is available by overriding block_size, at
-    # the cost of falling back to the per-op paged decode.
-    num_blocks: int = 64 * 8 + 32
-    block_size: int = 128
+    # block_size=512 (round 5): the paged decode premium is per-DMA-
+    # descriptor SCALAR cost (~0.5 µs per block copy's check+start+wait,
+    # docs/PERF.md round-4 paged section), not bytes — so the production
+    # geometry uses LARGE blocks: 1024-token capacity as 2 blocks of 512
+    # costs 2·B·MB = 256 value descriptors/layer (the measured ~11.5 ms
+    # sweet spot at 7B B=64) where 8 blocks of 128 would cost 1024
+    # (~25 ms). Block size is also the radix prefix-sharing grain: 512
+    # fits the system-prompt sharing pattern; finer grains are available
+    # by overriding block_size (128 keeps the fused path; <128 falls
+    # back to per-op — the fused kernel's manual-DMA slices must be
+    # 128-lane aligned, kernels/fused_decode.fused_paged_decode_ok).
+    num_blocks: int = 64 * 2 + 32
+    block_size: int = 512
     max_batch: int = 64                 # compiled decode width
-    max_blocks_per_request: int = 8
+    max_blocks_per_request: int = 2
     prompt_buckets: tuple = (16, 32, 64, 128, 256, 512, 1024)
     max_prefill_chunk: int = 512
     policy: SchedulingPolicy = SchedulingPolicy.FCFS
@@ -77,23 +82,25 @@ class PagedEngineConfig:
     decode_horizon_pressured: int = 2
 
     @classmethod
-    def for_fused(cls, max_batch: int = 64, max_seq_len: int = 512,
+    def for_fused(cls, max_batch: int = 64, max_seq_len: int = 1024,
                   spare_blocks: int = 16, **kw) -> "PagedEngineConfig":
         """Geometry that routes decode through the fused whole-model paged
         megakernel (kernels/fused_decode.fused_paged_decode_ok): large
-        blocks (contiguous DMA through the block-table fan), <=4 blocks
-        per request, batch a multiple of 8. Coarser blocks trade radix
-        prefix-sharing granularity for the ~2x per-op decode overhead the
-        megakernel removes — the right trade for throughput serving."""
+        blocks (each block copy is one DMA descriptor, and descriptors —
+        not bytes — are the paged premium), batch a multiple of 8.
+        Coarser blocks trade radix prefix-sharing granularity for
+        per-step descriptor count — the right trade for throughput
+        serving. Since round 5 the rings ROTATE, so capacity is no
+        longer VMEM-bounded and the default config is itself
+        fused-capable; this preset remains for explicit geometry
+        control."""
         # The fused gate requires lane-aligned blocks (bs % 128 == 0) —
         # round UP to the next 128 multiple so short-context presets
         # (max_seq_len < 512) still produce a fused-capable geometry
         # instead of silently falling back to the per-op path (the r4
         # verify drive caught for_fused(max_seq_len=128) emitting bs=32).
-        bs = -(-min(2048, max_seq_len) // 4)
-        bs = max(128, -(-bs // 128) * 128)
+        bs = max(128, min(512, -(-max_seq_len // 2 // 128) * 128))
         mb = (max_seq_len + bs - 1) // bs
-        assert mb <= 4
         return cls(block_size=bs, max_blocks_per_request=mb,
                    max_batch=max_batch,
                    num_blocks=max_batch * mb + spare_blocks, **kw)
@@ -124,24 +131,31 @@ class PagedInferenceEngine:
             self.params = tp_prepare_params(params, model_cfg, self.mesh)
             self._local_cfg = tp_local_config(model_cfg, tp, data_axis=None)
             self._param_specs = tp_param_spec_tree(self.params)
-            self._kv_spec_fn = tp_kv_spec
+            # merged paged pools (K+V co-located) need the rank-5 spec
+            self._kv_spec_fn = (
+                lambda quant, data=None: tp_kv_spec(quant, data=data,
+                                                    paged_merged=quant))
         else:
             self.params = params
             self._local_cfg = None
 
         kv_dtype = jnp.dtype(c.kv_dtype or model_cfg.dtype)
         if kv_dtype == jnp.int8:
-            # QuantKV pools: flat int8 values + transposed scales (the
-            # framework-native format); decode runs the int8 paged kernel
+            # MERGED QuantKV pools (round 5): each logical block holds its
+            # K page (dim-2 index 0) and V page (index 1) adjacently, so
+            # the fused paged kernel moves both with ONE DMA descriptor —
+            # descriptors, not bytes, are the measured paged premium
+            # (docs/PERF.md). self._k carries the pair; self._v is None.
             from ..models.transformer import QuantKV
 
-            qshape = (model_cfg.num_layers, c.num_blocks + 1, c.block_size,
+            qshape = (model_cfg.num_layers, c.num_blocks + 1, 2,
+                      c.block_size,
                       model_cfg.num_kv_heads * model_cfg.head_dim)
-            sshape = (model_cfg.num_layers, c.num_blocks + 1,
+            sshape = (model_cfg.num_layers, c.num_blocks + 1, 2,
                       model_cfg.num_kv_heads, c.block_size)
-            mk = lambda: QuantKV(q=jnp.zeros(qshape, jnp.int8),
-                                 s=jnp.zeros(sshape, jnp.float32))
-            self._k, self._v = mk(), mk()
+            self._k = QuantKV(q=jnp.zeros(qshape, jnp.int8),
+                              s=jnp.zeros(sshape, jnp.float32))
+            self._v = None
         else:
             pool_shape = (model_cfg.num_layers, c.num_blocks + 1,
                           c.block_size, model_cfg.num_kv_heads,
@@ -156,7 +170,8 @@ class PagedInferenceEngine:
             put = lambda cache: jax.tree.map(
                 lambda a, s: jax.device_put(a, NamedSharding(self.mesh, s)),
                 cache, spec)
-            self._k, self._v = put(self._k), put(self._v)
+            self._k = put(self._k)
+            self._v = put(self._v) if self._v is not None else None
         self._trash = c.num_blocks  # physical row for dead writes
 
         # Make the fused-gate outcome visible: if the advertised fused paged
@@ -165,11 +180,22 @@ class PagedInferenceEngine:
         if (self._kv_quantized and self.mesh is None
                 and jax.default_backend() == "tpu"
                 and os.environ.get("FUSED_PAGED", "1") != "0"):
-            from ..kernels.fused_decode import fused_paged_decode_ok
+            from ..kernels.fused_decode import (_paged_ring_slots,
+                                               fused_paged_decode_ok)
 
-            if not fused_paged_decode_ok(model_cfg, c.max_batch,
-                                         c.max_blocks_per_request,
-                                         c.block_size):
+            if fused_paged_decode_ok(model_cfg, c.max_batch,
+                                     c.max_blocks_per_request, c.block_size,
+                                     NB=c.num_blocks + 1):
+                flat = model_cfg.num_kv_heads * model_cfg.head_dim
+                g = _paged_ring_slots(c.max_batch, c.max_blocks_per_request,
+                                      c.block_size, flat, c.num_blocks + 1,
+                                      model_cfg.num_kv_heads)
+                print(f"[paged-engine] fused paged decode ON: batch="
+                      f"{c.max_batch}, capacity="
+                      f"{c.max_blocks_per_request * c.block_size} tokens "
+                      f"({c.max_blocks_per_request}x{c.block_size} blocks), "
+                      f"ring slots G={g}", file=sys.stderr)
+            else:
                 print(f"[paged-engine] fused paged decode DISABLED for "
                       f"(batch={c.max_batch}, "
                       f"blocks/req={c.max_blocks_per_request}, "
@@ -294,10 +320,13 @@ class PagedInferenceEngine:
         from jax.sharding import PartitionSpec as P
 
         kvp = self._kv_spec_fn(self._kv_quantized, data=None)
+        # merged pools: the v slot is None (empty pytree) — a leaf spec
+        # prefixes it harmlessly
+        vsp = kvp if self._v is not None else P()
         sharded = jax.shard_map(
             fn, mesh=self.mesh,
-            in_specs=(self._param_specs, P(), kvp, kvp, P(), P(), P()),
-            out_specs=(P(), kvp, kvp), check_vma=False)
+            in_specs=(self._param_specs, P(), kvp, vsp, P(), P(), P()),
+            out_specs=(P(), kvp, vsp), check_vma=False)
         return jax.jit(sharded, donate_argnums=(2, 3))
 
     def _decode_for(self, horizon: int, filtered: bool = True):
@@ -323,11 +352,12 @@ class PagedInferenceEngine:
             from jax.sharding import PartitionSpec as P
 
             kvp = self._kv_spec_fn(self._kv_quantized, data=None)
+            vsp = kvp if self._v is not None else P()
             jitted = jax.jit(jax.shard_map(
                 fn, mesh=self.mesh,
-                in_specs=(self._param_specs, P(), kvp, kvp, P(), P(), P(),
+                in_specs=(self._param_specs, P(), kvp, vsp, P(), P(), P(),
                           P(), P(), P()),
-                out_specs=(P(), kvp, kvp), check_vma=False),
+                out_specs=(P(), kvp, vsp), check_vma=False),
                 donate_argnums=(2, 3))
         self._decode_fns[key] = jitted
         return jitted

@@ -12,6 +12,7 @@ Usage: JAX_PLATFORMS=axon python scripts/probe_flash_paged.py
 """
 from __future__ import annotations
 
+import functools
 import sys
 import time
 
@@ -129,7 +130,8 @@ def prefill_attn_probe(reps=16):
               f"speedup {row['xla']/row['flash']:4.2f}x", flush=True)
 
 
-def paged_probe(B=64, BS=128, MB=4, steps=32, lens=128):
+def paged_probe(B=64, BS=128, MB=4, steps=32, lens=128, slots=None,
+                modes=("kernel", "inplace", "scatter")):
     from physics_llm_inference_tpu.models import ModelConfig
     from physics_llm_inference_tpu.models.quant import init_params_int8
     from physics_llm_inference_tpu.kernels.fused_decode import \
@@ -150,10 +152,14 @@ def paged_probe(B=64, BS=128, MB=4, steps=32, lens=128):
     del params
 
     rng = jax.random.PRNGKey(1)
-    kq = jax.random.randint(rng, (L, NB, BS, flat), -127, 128, jnp.int8)
-    vq = jax.random.randint(rng, (L, NB, BS, flat), -127, 128, jnp.int8)
-    ks = jnp.full((L, NB, cfg.num_kv_heads, BS), 0.05, jnp.float32)
-    vs = jnp.full((L, NB, cfg.num_kv_heads, BS), 0.05, jnp.float32)
+    # MERGED int8 pools (round 5: K and V pages co-located per block),
+    # built by broadcasting one random block: randint over the full pool
+    # shape materializes a uint32 temp (4x the int8 pool — 8.5 GB at
+    # capacity-1024 geometries, OOM next to the 6 GB of weights); content
+    # only has to be bounded, not unique, for a perf probe
+    tile = jax.random.randint(rng, (2, BS, flat), -127, 128, jnp.int8)
+    kv = jnp.broadcast_to(tile, (L, NB, 2, BS, flat))
+    kvs = jnp.full((L, NB, 2, cfg.num_kv_heads, BS), 0.05, jnp.float32)
     tables = jnp.asarray(
         np.random.default_rng(0).permutation(B * MB).reshape(B, MB) + 1,
         jnp.int32)
@@ -165,28 +171,32 @@ def paged_probe(B=64, BS=128, MB=4, steps=32, lens=128):
     def make_run(mode: str):
         scatter = mode == "scatter"
 
-        @jax.jit
-        def run(blocks, x0, kq, ks, vq, vs):
+        # donate the pools: at capacity-1024 geometries an undonated pool
+        # pair costs an extra 4.2 GB of HLO temps (input + carry copies)
+        # next to 6 GB of weights — HBM OOM on the 16 GB chip
+        @functools.partial(jax.jit, donate_argnums=(2, 3))
+        def run(blocks, x0, kv, kvs):
             def step(carry, i):
-                x, kq, ks, vq, vs = carry
+                x, kv, kvs = carry
                 lens = lens0 + (i if mode != "kernel" else 0)
                 cos_g, sin_g = cos_t[lens], sin_t[lens]
                 if mode == "inplace":
-                    (x_out, k_new, ksc, v_new, vsc, kq, ks, vq,
-                     vs) = fused_paged_decode_step(
-                        blocks, x, kq, ks, vq, vs, tables, lens, cos_g,
-                        sin_g, cfg=cfg, inplace=True)
+                    (x_out, k_new, ksc, v_new, vsc, kv,
+                     kvs) = fused_paged_decode_step(
+                        blocks, x, kv, kvs, tables, lens, cos_g,
+                        sin_g, cfg=cfg, inplace=True, ring_slots=slots)
                 else:
                     x_out, k_new, ksc, v_new, vsc = fused_paged_decode_step(
-                        blocks, x, kq, ks, vq, vs, tables, lens, cos_g,
-                        sin_g, cfg=cfg)
+                        blocks, x, kv, kvs, tables, lens, cos_g,
+                        sin_g, cfg=cfg, ring_slots=slots)
                 if scatter:
                     blk = tables[jnp.arange(B), lens // BS]
                     off = lens % BS
-                    kq = kq.at[:, blk, off].set(k_new)
-                    ks = ks.at[:, blk, :, off].set(ksc.transpose(1, 0, 2))
-                    vq = vq.at[:, blk, off].set(v_new)
-                    vs = vs.at[:, blk, :, off].set(vsc.transpose(1, 0, 2))
+                    kv = kv.at[:, blk, 0, off].set(k_new) \
+                           .at[:, blk, 1, off].set(v_new)
+                    kvs = kvs.at[:, blk, 0, :, off].set(
+                        ksc.transpose(1, 0, 2)).at[:, blk, 1, :, off].set(
+                        vsc.transpose(1, 0, 2))
                 else:
                     # fold outputs into x so the kernel can't be elided,
                     # but leave the pools untouched (isolates kernel time
@@ -196,30 +206,45 @@ def paged_probe(B=64, BS=128, MB=4, steps=32, lens=128):
                 xf = x_out.astype(jnp.float32)
                 x = (xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True)
                                         + 1e-6)).astype(jnp.bfloat16)
-                return (x, kq, ks, vq, vs), None
+                return (x, kv, kvs), None
 
-            carry, _ = jax.lax.scan(step, (x0, kq, ks, vq, vs),
+            carry, _ = jax.lax.scan(step, (x0, kv, kvs),
                                     jnp.arange(steps))
-            return carry[0]
-        return run
+            return carry[0], *carry[1:]  # pools returned: donated buffers
+        return run                       # are rebound by the caller
 
     wb = sum(t.q.nbytes + t.s.nbytes for t in
              (blocks["wqkv"], blocks["wo"], blocks["w_gate_up"],
               blocks["w_down"]))
-    # live KV bytes actually attended (avg over the chained steps)
-    kvb = 2 * B * (lens + steps // 2) * flat
+    # live KV bytes actually attended PER STEP (avg over the chained
+    # steps): 2 streams x B x live-tokens x flat, for EVERY layer — the
+    # r4 version of this line dropped the xL factor, understating the
+    # floor ~40% at production occupancy
+    kvb = 2 * B * (lens + steps // 2) * flat * L
     floor = (wb + kvb) / get_tpu_spec().hbm_bandwidth
-    print(f"== paged megakernel 7B B={B} bs={BS} MB={MB} lens={lens} ==",
-          flush=True)
-    for mode in ("kernel", "inplace", "scatter"):
+    print(f"== paged megakernel 7B B={B} bs={BS} MB={MB} lens={lens} "
+          f"slots={slots or 'auto'} ==", flush=True)
+    for mode in modes:
         run = make_run(mode)
+        pools = (kv, kvs)
         t0 = time.time()
-        out, _ = readout_timed(lambda: run(blocks, x0, kq, ks, vq, vs))
+
+        def call():
+            nonlocal pools
+            out = run(blocks, x0, *pools)
+            pools = out[1:]
+            return out[0]
+
+        out, _ = readout_timed(call)
         c = time.time() - t0
         times = []
         for _ in range(3):
-            out, dt = readout_timed(lambda: run(blocks, x0, kq, ks, vq, vs))
+            out, dt = readout_timed(call)
             times.append(dt)
+        # re-materialize pristine pools for the next mode (donation
+        # consumed the originals)
+        kv = jnp.broadcast_to(tile, (L, NB, 2, BS, flat))
+        kvs = jnp.full((L, NB, 2, cfg.num_kv_heads, BS), 0.05, jnp.float32)
         per = min(times) / steps
         print(f"mode={mode:8s} compile {c:5.1f}s  "
               f"per-step {per*1e3:.3f} ms  (floor ~{floor*1e3:.3f} ms -> "
@@ -251,12 +276,11 @@ def paged_perop_probe(B=64, BS=128, MB=4, steps=16, horizon=8):
     params = init_params_int8(jax.random.PRNGKey(0), cfg)
 
     rng = jax.random.PRNGKey(1)
-    kq = jax.random.randint(rng, (L, NB, BS, flat), -127, 128, jnp.int8)
-    vq = jax.random.randint(rng, (L, NB, BS, flat), -127, 128, jnp.int8)
-    ks = jnp.full((L, NB, cfg.num_kv_heads, BS), 0.05, jnp.float32)
-    vs = jnp.full((L, NB, cfg.num_kv_heads, BS), 0.05, jnp.float32)
-    k_pools = QuantKV(q=kq, s=ks)
-    v_pools = QuantKV(q=vq, s=vs)
+    tile = jax.random.randint(rng, (2, BS, flat), -127, 128, jnp.int8)
+    k_pools = QuantKV(
+        q=jnp.broadcast_to(tile, (L, NB, 2, BS, flat)),
+        s=jnp.full((L, NB, 2, cfg.num_kv_heads, BS), 0.05, jnp.float32))
+    v_pools = None
     tables = jnp.asarray(
         np.random.default_rng(0).permutation(B * MB).reshape(B, MB) + 1,
         jnp.int32)
@@ -302,12 +326,16 @@ if __name__ == "__main__":
     ap.add_argument("--lens", type=int, default=128,
                     help="initial per-request KV length (occupancy = "
                          "lens / (bs*mb))")
+    ap.add_argument("--slots", type=int, default=0,
+                    help="force the paged ring depth G (0 = auto)")
+    ap.add_argument("--modes", default="kernel,inplace,scatter")
     a = ap.parse_args()
     if a.only in ("", "flash"):
         flash_sweep()
     if a.only in ("", "prefill"):
         prefill_attn_probe()
     if a.only in ("", "paged"):
-        paged_probe(BS=a.bs, MB=a.mb, lens=a.lens)
+        paged_probe(BS=a.bs, MB=a.mb, lens=a.lens, slots=a.slots or None,
+                    modes=tuple(a.modes.split(",")))
     if a.only in ("", "perop"):
         paged_perop_probe(BS=a.bs, MB=a.mb)

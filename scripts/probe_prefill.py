@@ -151,6 +151,157 @@ def main():
         print(f"[mm_bf16] FAILED: {str(e)[:120]}", flush=True)
         t_mmb = float("nan")
 
+    # 4. component arm (round 5): the non-matmul residue priced piece by
+    # piece — chained reps of each glue op at the exact prefill shapes.
+    if "parts" in arms:
+        from physics_llm_inference_tpu.ops.gqa import grouped_sdpa
+        from physics_llm_inference_tpu.ops.norms import rms_norm
+        from physics_llm_inference_tpu.ops.rope import (apply_rope,
+                                                        rope_frequencies)
+        from physics_llm_inference_tpu.kernels.quant import quantize_int8
+        from physics_llm_inference_tpu.kernels.flash_attention import \
+            flash_attention
+
+        key = jax.random.PRNGKey(2)
+        HQ, HKV, HD = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+        SK = P * 2
+        q4 = jax.random.normal(key, (B, HQ, P, HD)).astype(jnp.bfloat16)
+        k4 = jax.random.normal(key, (B, HKV, SK, HD)).astype(jnp.bfloat16)
+        v4 = jax.random.normal(key, (B, HKV, SK, HD)).astype(jnp.bfloat16)
+        iq, ik = jnp.arange(P), jnp.arange(SK)
+        mask = (ik[None, :] <= (iq + P)[:, None])[None, None, None]
+        h2 = jax.random.normal(key, (T, D)).astype(jnp.bfloat16)
+        gu2 = jax.random.normal(key, (T, 2 * F)).astype(jnp.bfloat16)
+        kv3 = jax.random.normal(key, (B, P, HKV, HD)).astype(jnp.bfloat16)
+        cos_t, sin_t = rope_frequencies(HD, cfg.max_seq_len, cfg.rope_theta)
+        pos = jnp.broadcast_to(jnp.arange(P)[None], (B, P))
+        ln_w = jnp.ones((D,), jnp.bfloat16)
+
+        def timed(name, fn, *a, reps=64):
+            @jax.jit
+            def run(*a):
+                def step(carry, i):
+                    out = fn(carry, i, *a)
+                    return out, None
+                c0 = a[0]
+                c, _ = jax.lax.scan(step, c0, jnp.arange(reps))
+                return c
+            run(*a)
+            dt = min(readout_timed(lambda: run(*a))[1] for _ in range(3))
+            print(f"[parts] {name:28s} {dt*1e3:7.2f} ms /{reps} reps "
+                  f"= {dt/reps*1e3:6.3f} ms/layer-instance", flush=True)
+            return dt
+
+        # attention (dense XLA, the auto choice at Sk=256)
+        timed("attn dense (Sq128,Sk256)",
+              lambda c, i, q4, k4, v4: grouped_sdpa(
+                  c * (1 + i * 1e-8), k4, v4, mask=mask).astype(c.dtype),
+              q4, k4, v4)
+        timed("attn flash (Sq128,Sk256)",
+              lambda c, i, q4, k4, v4: flash_attention(
+                  c * (1 + i * 1e-8), k4, v4, q_offset=P,
+                  causal=True).astype(c.dtype),
+              q4, k4, v4)
+        # rope on q in the forward pass's NATIVE layout (B, P, H, hd) —
+        # no transposes (the first version of this arm transposed to
+        # head-major and back, two 67 MB relayouts that the real path
+        # never pays)
+        q_nat = jax.random.normal(key, (B, P, HQ, HD)).astype(jnp.bfloat16)
+        timed("rope q (B,P,32,128)",
+              lambda c, i, _q: apply_rope(
+                  c * (1 + i * 1e-8), cos_t, sin_t, pos).astype(c.dtype),
+              q_nat)
+        # KV quantize (k and v per layer)
+        timed("kv quantize x2 (B,P,8,128)",
+              lambda c, i, _kv: (lambda qq, ss: (qq.astype(jnp.float32)
+                                                 * ss + c * 1e-8).astype(
+                  c.dtype))(*quantize_int8(c * (1 + i * 1e-8), axis=-1)),
+              kv3)
+        timed("rms_norm x2 (8192,4096)",
+              lambda c, i, _h: rms_norm(rms_norm(c * (1 + i * 1e-8), ln_w,
+                                                 1e-6), ln_w,
+                                        1e-6).astype(c.dtype), h2)
+        timed("silu*up (8192,11008)",
+              lambda c, i, _g: (c * (1 + i * 1e-8)).at[:, :F].set(
+                  (jax.nn.silu(c[:, :F].astype(jnp.float32))
+                   * c[:, F:].astype(jnp.float32)).astype(c.dtype)), gu2)
+
+    # 5. glue OPTIMIZATION candidates (round 5): measured against the
+    # "parts" baselines above.
+    if "glue2" in arms:
+        from physics_llm_inference_tpu.ops.rope import (apply_rope,
+                                                        rope_frequencies)
+        from physics_llm_inference_tpu.utils.timing import readout_timed as _rt
+
+        key = jax.random.PRNGKey(2)
+        HQ, HD = cfg.num_heads, cfg.head_dim
+        cos_t, sin_t = rope_frequencies(HD, cfg.max_seq_len, cfg.rope_theta)
+        pos = jnp.broadcast_to(jnp.arange(P)[None], (B, P))
+        q_nat = jax.random.normal(key, (B, P, HQ, HD)).astype(jnp.bfloat16)
+        gu2 = jax.random.normal(key, (T, 2 * F)).astype(jnp.bfloat16)
+        wd_b = jax.random.normal(key, (F, D)).astype(jnp.bfloat16)
+
+        def rope_v2(x, cos, sin, positions):
+            # full-lane-width formulation: no 64-lane half slices (those
+            # relayout on TPU); one roll + sign-folded sin table
+            dtype = x.dtype
+            c = cos[positions][:, :, None, :]
+            s = sin[positions][:, :, None, :]
+            cf = jnp.concatenate([c, c], -1)            # (B,S,1,D)
+            sf = jnp.concatenate([-s, s], -1)
+            xf = x.astype(jnp.float32)
+            rot = jnp.roll(xf, x.shape[-1] // 2, axis=-1)
+            return (xf * cf + rot * sf).astype(dtype)
+
+        def timed2(name, fn, *a, reps=64):
+            @jax.jit
+            def run(*a):
+                def step(carry, i):
+                    return fn(carry, i, *a), None
+                c, _ = jax.lax.scan(step, a[0], jnp.arange(reps))
+                return c
+            run(*a)
+            dt = min(_rt(lambda: run(*a))[1] for _ in range(3))
+            print(f"[glue2] {name:28s} {dt/reps*1e3:6.3f} ms/inst",
+                  flush=True)
+            return dt / reps
+
+        timed2("rope v1 (half-slices)",
+               lambda c, i, _q: apply_rope(c * (1 + i * 1e-8), cos_t,
+                                           sin_t, pos).astype(c.dtype),
+               q_nat)
+        timed2("rope v2 (roll+sign)",
+               lambda c, i, _q: rope_v2(c * (1 + i * 1e-8), cos_t,
+                                        sin_t, pos).astype(c.dtype), q_nat)
+        # numerics check v1 vs v2
+        a = apply_rope(q_nat, cos_t, sin_t, pos)
+        bb = rope_v2(q_nat, cos_t, sin_t, pos)
+        print(f"[glue2] rope v1-v2 max abs diff: "
+              f"{float(jnp.max(jnp.abs(a.astype(jnp.float32) - bb.astype(jnp.float32)))):.2e}",
+              flush=True)
+        # silu: real shape (fresh output, no .at.set copy), f32 vs bf16
+        timed2("silu*up f32 -> bf16 out",
+               lambda c, i, _g: jnp.concatenate([
+                   (jax.nn.silu(c[:, :F].astype(jnp.float32) * (1 + i * 1e-8))
+                    * c[:, F:].astype(jnp.float32)).astype(c.dtype),
+                   c[:, F:]], -1), gu2)
+        # does XLA fuse silu into the down dot? dot alone vs silu+dot
+        timed2("down dot alone (m=8192)",
+               lambda c, i, w: jnp.concatenate([
+                   jnp.dot(c[:, :F] * (1 + i * 1e-8), w,
+                           preferred_element_type=jnp.float32
+                           ).astype(c.dtype),
+                   c[:, D:]], -1), gu2, wd_b)
+        timed2("silu+down dot fused?",
+               lambda c, i, w: jnp.concatenate([
+                   jnp.dot((jax.nn.silu(c[:, :F].astype(jnp.float32)
+                                        * (1 + i * 1e-8))
+                            * c[:, F:].astype(jnp.float32)
+                            ).astype(jnp.bfloat16), w,
+                           preferred_element_type=jnp.float32
+                           ).astype(c.dtype),
+                   c[:, D:]], -1), gu2, wd_b)
+
     print(f"shapes: B={B} P={P} L={L} (report scales are per-{L}-layer)")
     print(f"matmul FLOP {mm_flops/1e12:.1f} TF, attn {attn_flops/1e12:.2f} "
           f"TF, physics floor {mm_flops/peak*1e3:.0f} ms")

