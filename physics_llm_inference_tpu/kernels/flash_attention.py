@@ -47,7 +47,8 @@ class FlashConfig:
 
 def _flash_kernel_v3(qoff_ref, vfrom_ref, q_ref, k_ref, v_ref, o_ref,
                      m_scr, l_scr, acc_scr, *, block_q, block_k,
-                     scale, causal, kv_len, sk, group, has_vfrom):
+                     scale, causal, kv_len, sk, group, has_vfrom,
+                     use_exp2=False):
     """Round-4 rewrite of the flash body: INTERIOR blocks (fully live —
     causally below the diagonal, inside the kv_len prefix, past every
     request's valid_from) take a MASK-FREE fast path: no iotas, no
@@ -75,12 +76,19 @@ def _flash_kernel_v3(qoff_ref, vfrom_ref, q_ref, k_ref, v_ref, o_ref,
     live = (k_start <= q_start + block_q - 1) if causal else True
 
     def update(s):
-        """One online-softmax step on full-width s (g·bq, bk)."""
+        """One online-softmax step on full-width s (g·bq, bk).
+
+        use_exp2 (FLASH_EXP2=1 experiment): the caller folds log2(e)
+        into `scale`, so the whole softmax chain runs in base 2 —
+        exp2 is the VPU's native transcendental (exp costs an extra
+        multiply per element inside the chain). Denominator and output
+        are unchanged (p/l consistent in either base)."""
+        ex = jnp.exp2 if use_exp2 else jnp.exp
         m_prev = m_scr[:, :1]                        # (g·bq, 1)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)                       # (g·bq, bk)
+        alpha = ex(m_prev - m_new)
+        p = ex(s - m_new)                            # (g·bq, bk)
         l_scr[:, :1] = l_scr[:, :1] * alpha + jnp.sum(p, -1, keepdims=True)
         m_scr[:, :1] = m_new
         v = v_ref[0, 0]
@@ -322,8 +330,11 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             block = max(1, block - (1 if block <= 128 else 128))
         return block
 
-    # cap grouped rows: s/p are (g·bq, bk) f32 in VMEM — keep them ~8 MB
-    bq = fit(min(config.block_q, max(128, 2048 // group)), sq)
+    # cap grouped rows: s/p are (g·bq, bk) f32 in VMEM — keep them ~8 MB.
+    # FLASH_BQ overrides the q-tile for sweep experiments.
+    bq_target = int(os.environ.get("FLASH_BQ", "0")) or \
+        min(config.block_q, max(128, 2048 // group))
+    bq = fit(bq_target, sq)
     bk = fit(config.block_k, sk)
     if not interpret and ((bq % 8 and bq != sq) or (bk % 8 and bk != sk)):
         # Mosaic requires sublane-divisible (8) block dims; an oddly-sized
@@ -365,6 +376,10 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # experiment for the %-of-MXU bar writeup. Read at trace time — flip
     # in a fresh process like the FUSED_* knobs.
     pipeline = (sk // bk >= 2 and os.environ.get("FLASH_PIPE") == "1")
+    # FLASH_EXP2=1 (round-5 experiment): run the softmax chain in base 2 —
+    # log2(e) folds into the QK scale and exp2 replaces exp (the VPU's
+    # native transcendental; exp spends an extra multiply per element).
+    use_exp2 = os.environ.get("FLASH_EXP2") == "1" and not pipeline
     nk = sk // bk
     if pipeline:
         kernel = functools.partial(_flash_kernel_pipe, block_q=bq,
@@ -374,9 +389,12 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         grid = (b, hkv, sq // bq, nk + 1)
     else:
         kernel = functools.partial(_flash_kernel, block_q=bq, block_k=bk,
-                                   scale=scale, causal=causal,
+                                   scale=scale * (1.4426950408889634
+                                                  if use_exp2 else 1.0),
+                                   causal=causal,
                                    kv_len=kv_len, sk=sk, group=group,
-                                   has_vfrom=valid_from is not None)
+                                   has_vfrom=valid_from is not None,
+                                   use_exp2=use_exp2)
         grid = (b, hkv, sq // bq, nk)
 
     def clamp_live(bb, i, kk, qoff):

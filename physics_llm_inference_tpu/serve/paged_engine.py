@@ -265,8 +265,11 @@ class PagedInferenceEngine:
         matched_blocks = matched // bs
         self._matched[r.request_id] = matched_blocks * bs
         shared = [kv_idx[i] // bs for i in range(0, matched_blocks * bs, bs)]
-        if matched > 0:
-            self._radix_hit_tokens += matched_blocks * bs
+        # NOT counted here: this hook also runs for the admission
+        # starvation-relief probe (every engine iteration while a request
+        # waits), which inflated radix_hit_tokens ~10x in the round-5
+        # serving run. Hits are counted once, when the admitted request's
+        # prefill actually skips the matched prefix (_step_locked).
         return shared
 
     def _radix_commit(self, r: Request) -> None:
@@ -500,6 +503,9 @@ class PagedInferenceEngine:
             r.start_time = r.start_time or time.monotonic()
             if r.prefill_pos == 0:
                 r.prefill_pos = self._matched.pop(r.request_id, 0)
+                # count radix hits at the point they actually save work:
+                # these prefix tokens will never be prefilled
+                self._radix_hit_tokens += r.prefill_pos
             self._prefilling.append(r)
         budget = (self.config.prefill_tokens_per_iter
                   or self.config.max_prefill_chunk)

@@ -37,6 +37,10 @@ def main():
                          "(8k tokens). Keep modest on CPU")
     ap.add_argument("--out", default="docs/ACCURACY.md")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--append", action="store_true",
+                    help="append a second-model section to --out instead "
+                         "of overwriting (round 5: the budget is checked "
+                         "at 13.9M AND ~143M scales)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -125,8 +129,8 @@ def main():
         return "PASS" if abs(delta) <= budget else "FAIL"
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
-        f.write(f"""# Quantization accuracy on structured weights
+    with open(args.out, "a" if args.append else "w") as f:
+        f.write(f"""{'##' if args.append else '#'} Quantization accuracy on structured weights
 
 Model: {sum(x.size for x in jax.tree.leaves(params))/1e6:.1f} M-param GQA
 transformer (head_dim 128 → fused-kernel eligible) TRAINED on
