@@ -91,10 +91,12 @@ def main():
     out = cached_generate(params, cfg, prompts, new_tokens, temperature=0.0,
                           kv_dtype=jnp.int8)
     log(f"compile+first run: {time.time()-t0:.1f}s")
-    # median of 3 steady-state runs: single-run session variance on the
-    # tunneled relay measured ±3% round 1 (BENCH_r01 5905 vs in-session 6050)
+    # median of 5 steady-state runs: single-run session variance on the
+    # tunneled relay measured ±3% round 1 (BENCH_r01 5905 vs in-session
+    # 6050), and round-5 same-code sessions spread 6524-6739 — a wider
+    # median tightens the driver-captured number against relay noise
     runs = []
-    for _ in range(3):
+    for _ in range(5):
         out = cached_generate(params, cfg, prompts, new_tokens,
                               temperature=0.0, kv_dtype=jnp.int8)
         runs.append(out)

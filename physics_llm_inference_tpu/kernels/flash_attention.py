@@ -39,9 +39,17 @@ _NEG_INF = -1e30
 @dataclass(frozen=True)
 class FlashConfig:
     """Tile sizes (ref FlashAttentionConfig ch06/flash_attention.py:6-11,
-    MXU-aligned; sizes clamp down to divisors of the sequence lengths)."""
+    MXU-aligned; sizes clamp down to divisors of the sequence lengths).
 
-    block_q: int = 512
+    block_q=1024 (round 5): the round-2 tile study picked 512, but the
+    round-4 mask-free interior path changed the economics — wider q
+    tiles amortize the per-block softmax chain over 2× the MXU work.
+    Measured (B=4, 32q/8kv, causal): S=8192 21.4 → 19.7 ms, S=4096
+    6.5 → 5.6, S=2048 1.8 → 1.0. bq=2048 collapses (45 TF — VMEM
+    thrash; negative result). The grouped-row cap in flash_attention
+    keeps g·bq ≤ 4096 rows so small-group configs don't blow VMEM."""
+
+    block_q: int = 1024
     block_k: int = 1024
 
 
@@ -330,10 +338,10 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             block = max(1, block - (1 if block <= 128 else 128))
         return block
 
-    # cap grouped rows: s/p are (g·bq, bk) f32 in VMEM — keep them ~8 MB.
-    # FLASH_BQ overrides the q-tile for sweep experiments.
+    # cap grouped rows at 4096: s/p are (g·bq, bk) f32 in VMEM (16 MB at
+    # the cap). FLASH_BQ overrides the q-tile for sweep experiments.
     bq_target = int(os.environ.get("FLASH_BQ", "0")) or \
-        min(config.block_q, max(128, 2048 // group))
+        min(config.block_q, max(128, 4096 // group))
     bq = fit(bq_target, sq)
     bk = fit(config.block_k, sk)
     if not interpret and ((bq % 8 and bq != sq) or (bk % 8 and bk != sk)):
@@ -376,10 +384,12 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # experiment for the %-of-MXU bar writeup. Read at trace time — flip
     # in a fresh process like the FUSED_* knobs.
     pipeline = (sk // bk >= 2 and os.environ.get("FLASH_PIPE") == "1")
-    # FLASH_EXP2=1 (round-5 experiment): run the softmax chain in base 2 —
-    # log2(e) folds into the QK scale and exp2 replaces exp (the VPU's
-    # native transcendental; exp spends an extra multiply per element).
-    use_exp2 = os.environ.get("FLASH_EXP2") == "1" and not pipeline
+    # base-2 softmax, DEFAULT ON (round 5): log2(e) folds into the QK
+    # scale and exp2 replaces exp — the VPU's native transcendental (exp
+    # spends an extra multiply per element in the chain). Measured ~+2%
+    # at S>=4096 on top of the bq=1024 win; FLASH_EXP2=0 opts back into
+    # natural-base exp.
+    use_exp2 = os.environ.get("FLASH_EXP2", "1") != "0" and not pipeline
     nk = sk // bk
     if pipeline:
         kernel = functools.partial(_flash_kernel_pipe, block_q=bq,
