@@ -285,15 +285,17 @@ def main():
                    (jax.nn.silu(c[:, :F].astype(jnp.float32) * (1 + i * 1e-8))
                     * c[:, F:].astype(jnp.float32)).astype(c.dtype),
                    c[:, F:]], -1), gu2)
-        # does XLA fuse silu into the down dot? dot alone vs silu+dot
+        # does XLA fuse silu into the down dot? dot alone vs silu+dot —
+        # if they cost the same, the silu pass above is already hidden in
+        # the real forward and there is nothing to recover
         timed2("down dot alone (m=8192)",
-               lambda c, i, w: jnp.concatenate([
+               lambda c, i, _g, w: jnp.concatenate([
                    jnp.dot(c[:, :F] * (1 + i * 1e-8), w,
                            preferred_element_type=jnp.float32
                            ).astype(c.dtype),
                    c[:, D:]], -1), gu2, wd_b)
         timed2("silu+down dot fused?",
-               lambda c, i, w: jnp.concatenate([
+               lambda c, i, _g, w: jnp.concatenate([
                    jnp.dot((jax.nn.silu(c[:, :F].astype(jnp.float32)
                                         * (1 + i * 1e-8))
                             * c[:, F:].astype(jnp.float32)
