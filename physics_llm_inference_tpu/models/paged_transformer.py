@@ -74,7 +74,9 @@ def _paged_decode_step_impl(params, tokens: jnp.ndarray,
     """One decode step for all requests over paged KV.
 
     tokens: (B,) current token per request; k_pools/v_pools:
-    (L, num_blocks, bs, Hkv, hd); tables: (B, max_blocks) int32;
+    dense pools (L, num_blocks, bs, Hkv, hd), or the merged QuantKV int8
+    pools (K/V pages co-located; see serve/paged_engine.py) with
+    v_pools=None; tables: (B, max_blocks) int32;
     lengths: (B,) tokens already in cache (the new token lands at
     position `lengths`). Returns (logits (B, V), k_pools, v_pools).
     """
