@@ -290,20 +290,28 @@ def paged_perop_probe(B=64, BS=128, MB=4, steps=16, horizon=8):
     tks = jnp.zeros((B,), jnp.int32)
     tps = jnp.ones((B,), jnp.float32)
 
+    # donate the pools — an undonated merged pool pair is an extra 4.8 GB
+    # of HLO temps next to 6 GB of weights (HBM OOM)
     fn = jax.jit(lambda p, t, k, v, lens, r: paged_decode_scan(
         p, t, k, v, tables, lens, r, temps, tps, cfg, horizon=horizon,
-        top_ks=tks, filtered=False))
+        top_ks=tks, filtered=False), donate_argnums=(2, 3))
 
     print(f"== paged PER-OP decode 7B B={B} bs={BS} MB={MB} "
           f"horizon={horizon} ==", flush=True)
     t0 = time.time()
-    out, _ = readout_timed(lambda: fn(params, toks, k_pools, v_pools,
-                                      lens0, jax.random.PRNGKey(2)))
+
+    def call():
+        # rebind the donated pools each call
+        nonlocal k_pools, v_pools
+        toks2, k_pools, v_pools = fn(params, toks, k_pools, v_pools,
+                                     lens0, jax.random.PRNGKey(2))
+        return toks2
+
+    out, _ = readout_timed(call)
     print(f"compile+first: {time.time()-t0:.1f}s", flush=True)
     times = []
     for _ in range(3):
-        out, dt = readout_timed(lambda: fn(params, toks, k_pools, v_pools,
-                                           lens0, jax.random.PRNGKey(2)))
+        out, dt = readout_timed(call)
         times.append(dt)
     per = min(times) / horizon
     wb = sum(t.q.nbytes + t.s.nbytes
