@@ -950,12 +950,17 @@ def _paged_ring_slots(B: int, MB: int, BS: int, flat: int, NB: int,
              + 2 * B * 8 * flat             # int8 write staging
              + 2 * B * hkv * BS * 4)        # scale write staging
     budget = (68 << 20) - fixed
+    # stretch budget for G=2 only: a 64 MB ring pair compiled and ran at
+    # capacity-1024/G=4 (slower than G=2 there — VMEM pressure — but
+    # functional), so minimal-depth rings may exceed the comfortable
+    # budget when the alternative is no fused path at all
+    budget2 = (78 << 20) - fixed
     slot = 2 * RBP * MB * BS * flat         # K+V ring bytes per slot
     for g in sorted((d for d in range(1, na + 1) if na % d == 0),
                     reverse=True):
         if g == 1 and na > 1:
             continue  # zero refill lead — the gate treats it as no-fit
-        if g * slot <= budget:
+        if g * slot <= (budget if g > 2 else budget2):
             return g
     return None
 
@@ -1151,7 +1156,7 @@ def fused_paged_decode_step(params, x, kv_pool, kvs_pool,
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=108 * 1024 * 1024,  # v5e has 128 MB; stretch-G=2 rings need ~101
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * (L * (D * QO + HQ * HD * D + 2 * D * F + F * D)

@@ -253,7 +253,7 @@ def paged_probe(B=64, BS=128, MB=4, steps=32, lens=128, slots=None,
 
 
 
-def paged_perop_probe(B=64, BS=128, MB=4, steps=16, horizon=8):
+def paged_perop_probe(B=64, BS=128, MB=4, steps=16, horizon=8, lens=128):
     """The paged engine's PRODUCTION decode dispatch (per-op path:
     paged_decode_scan → int8 paged attention + layer-indexed int8 matmuls)
     at 7B serving shapes — the paged-vs-slot throughput comparison."""
@@ -284,7 +284,7 @@ def paged_perop_probe(B=64, BS=128, MB=4, steps=16, horizon=8):
     tables = jnp.asarray(
         np.random.default_rng(0).permutation(B * MB).reshape(B, MB) + 1,
         jnp.int32)
-    lens0 = jnp.full((B,), 128, jnp.int32)
+    lens0 = jnp.full((B,), lens, jnp.int32)
     toks = jnp.ones((B,), jnp.int32)
     temps = jnp.zeros((B,), jnp.float32)
     tks = jnp.zeros((B,), jnp.int32)
@@ -318,7 +318,8 @@ def paged_perop_probe(B=64, BS=128, MB=4, steps=16, horizon=8):
              for t in jax.tree.leaves(
                  params, is_leaf=lambda x: hasattr(x, "q"))
              if hasattr(t, "q"))
-    floor = (wb + 2 * B * 160 * flat) / get_tpu_spec().hbm_bandwidth
+    floor = (wb + 2 * B * (lens + horizon * steps // 2) * flat * L) \
+        / get_tpu_spec().hbm_bandwidth
     print(f"per-step {per*1e3:.3f} ms  (floor ~{floor*1e3:.3f} ms -> "
           f"{floor/per*100:.1f}% of SoL, {B/per:.0f} tok/s)", flush=True)
 
@@ -346,4 +347,4 @@ if __name__ == "__main__":
         paged_probe(BS=a.bs, MB=a.mb, lens=a.lens, slots=a.slots or None,
                     modes=tuple(a.modes.split(",")))
     if a.only in ("", "perop"):
-        paged_perop_probe(BS=a.bs, MB=a.mb)
+        paged_perop_probe(BS=a.bs, MB=a.mb, lens=a.lens)
