@@ -273,6 +273,28 @@ def main():
         timed2("rope v2 (roll+sign)",
                lambda c, i, _q: rope_v2(c * (1 + i * 1e-8), cos_t,
                                         sin_t, pos).astype(c.dtype), q_nat)
+
+        def rope_v3(x, cos, sin, positions):
+            # full-width FMA form with ONE concat: out = x·cosf +
+            # rot_half(x)·sinf, rot built from the two half slices
+            dtype = x.dtype
+            c = cos[positions][:, :, None, :]
+            s = sin[positions][:, :, None, :]
+            cf = jnp.concatenate([c, c], -1)
+            sf = jnp.concatenate([-s, s], -1)
+            xf = x.astype(jnp.float32)
+            d2 = x.shape[-1] // 2
+            rot = jnp.concatenate([xf[..., d2:], xf[..., :d2]], -1)
+            return (xf * cf + rot * sf).astype(dtype)
+
+        timed2("rope v3 (1-concat FMA)",
+               lambda c, i, _q: rope_v3(c * (1 + i * 1e-8), cos_t,
+                                        sin_t, pos).astype(c.dtype), q_nat)
+        a3 = apply_rope(q_nat, cos_t, sin_t, pos)
+        b3 = rope_v3(q_nat, cos_t, sin_t, pos)
+        print(f"[glue2] rope v1-v3 max abs diff: "
+              f"{float(jnp.max(jnp.abs(a3.astype(jnp.float32) - b3.astype(jnp.float32)))):.2e}",
+              flush=True)
         # numerics check v1 vs v2
         a = apply_rope(q_nat, cos_t, sin_t, pos)
         bb = rope_v2(q_nat, cos_t, sin_t, pos)
