@@ -502,7 +502,21 @@ def block_forward(
                          valid=ffn_valid)
             return x, new_kv
 
-        if layer is None:
+        if k_limit is not None and k_limit == s:
+            # One-shot prefill (slots [0, s) were written by THIS call —
+            # the only k_limit caller, runtime/generate._prefill, writes at
+            # start=0 with k_limit=p=s): attend the freshly computed
+            # post-RoPE K/V directly instead of round-tripping through the
+            # cache. Skips two dequant passes + the int8 read-back per
+            # layer; with a QuantKV cache this also means intra-prompt
+            # attention sees pre-quantization values (production-engine
+            # semantics — cache noise enters at decode, where the cache is
+            # actually the source), which only tightens the accuracy
+            # budget. Bit-identical for non-quantized caches.
+            kq = k.transpose(0, 2, 1, 3)
+            vq = v.transpose(0, 2, 1, 3)
+            k_slots = jnp.arange(s)
+        elif layer is None:
             kq = _cache_read(k_cache, q.dtype).transpose(0, 2, 1, 3)
             vq = _cache_read(v_cache, q.dtype).transpose(0, 2, 1, 3)
         else:

@@ -48,6 +48,23 @@ def test_int8_kv_generation_matches_fp32_greedy_mostly():
     assert q8.tokens.shape == (1, 12)
 
 
+def test_oneshot_prefill_attends_fresh_kv_exactly():
+    """One-shot prefill (k_limit == s) attends the freshly computed K/V, not
+    the quant-dequant cache round-trip — its logits must be BIT-IDENTICAL to
+    the uncached forward (same ops, same order), even over an INT8 cache.
+    Quantization noise enters at decode, where the cache is the real source
+    (round-5 TTFT work; verified exact on the live TPU as well)."""
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    ids = (jnp.arange(16).reshape(2, 8) * 3) % 100
+    ref, _ = forward(params, ids, CFG)
+    cache = KVCache.create(CFG, 2, 16, dtype=jnp.int8)
+    out, kv = forward(params, ids, CFG, kv=cache.as_slice(), k_limit=8)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # the cache is still written for the decode steps that follow
+    assert isinstance(kv.k, QuantKV)
+    assert float(jnp.max(jnp.abs(kv.k.q[:, :, :8].astype(jnp.int32)))) > 0
+
+
 def test_int8_kv_decode_steps_consistent():
     """Token-by-token int8-KV decode ≡ int8-KV prefill (internal consistency)."""
     params = init_params(jax.random.PRNGKey(0), CFG)
