@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.gqa import grouped_sdpa
+from ..ops.gqa import grouped_sdpa, grouped_sdpa_bshd
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, rope_frequencies
 from .config import ModelConfig
@@ -400,6 +400,16 @@ def _attend(q, k, v, q_slots, k_slots, valid_from=None):
     return grouped_sdpa(q, k, v, mask=mask[:, None, None, :, :])
 
 
+def _attend_bshd(q, k, v, q_slots, k_slots, valid_from=None):
+    """_attend over tensors still in projection layout (B, S, H, hd) — same
+    mask predicate, no head/seq transposes (ops/gqa.grouped_sdpa_bshd).
+    Returns (B, Sq, Hq·hd), ready for the wo projection."""
+    mask = k_slots[None, None, :] <= q_slots[:, :, None]
+    if valid_from is not None:
+        mask = mask & (k_slots[None, None, :] >= valid_from[:, None, None])
+    return grouped_sdpa_bshd(q, k, v, mask=mask[:, None, None, :, :])
+
+
 def block_forward(
     bp: dict,
     x: jnp.ndarray,
@@ -513,6 +523,12 @@ def block_forward(
             # semantics — cache noise enters at decode, where the cache is
             # actually the source), which only tightens the accuracy
             # budget. Bit-identical for non-quantized caches.
+            # (A transpose-free variant — _attend_bshd, attention directly
+            # in the (B, S, H, hd) projection layout — measured TTFT p50
+            # 637.8 vs 629.6 ms here: no win; XLA already folds these
+            # transposes, and the (b, h) non-adjacent batch dims make
+            # dot_general pay its own relayout. Kept as the tested negative
+            # result; docs/PERF.md round-5 TTFT section.)
             kq = k.transpose(0, 2, 1, 3)
             vq = v.transpose(0, 2, 1, 3)
             k_slots = jnp.arange(s)

@@ -39,6 +39,42 @@ def grouped_sdpa(q, k, v, mask=None, scale=None):
     return out.reshape(b, hq, sq, d).astype(q.dtype)
 
 
+def grouped_sdpa_bshd(q, k, v, mask=None, scale=None):
+    """grouped_sdpa over tensors in their PROJECTION layout (B, S, H, D) —
+    no (B, H, S, D) transposes in or out.
+
+    q: (B, Sq, Hq, D); k, v: (B, Sk, Hkv, D); returns (B, Sq, Hq·D).
+    Same math as grouped_sdpa — softmax in f32, mask True = attend,
+    broadcastable to (B, 1, 1, Sq, Sk) against scores (B, Hkv, G, Sq, Sk).
+
+    MEASURED NEGATIVE RESULT (round 5, v5e, 7B headline prefill B=64
+    P=128): swapping this in for transpose+grouped_sdpa moved TTFT p50
+    629.6 → 637.8 ms — the hypothesis was that skipping four full-tensor
+    head/seq transposes per layer (~0.9 ms/layer of HBM traffic) would
+    win, but XLA already folds those transposes into neighboring ops,
+    while the (b, h) batch dims taken from NON-adjacent positions make
+    dot_general pay its own internal relayout. On TPU the result also
+    differs from the bhsd path by 1 bf16 ulp (reduce-layout
+    associativity). Kept tested as the recorded experiment; the model
+    uses grouped_sdpa.
+    """
+    b, sq, hq, d = q.shape
+    hkv = k.shape[2]
+    assert hq % hkv == 0, "num_heads must be divisible by num_kv_heads"
+    g = hq // hkv
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    qg = q.reshape(b, sq, hkv, g, d)
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        scores = jnp.where(mask, scores, _NEG_INF)
+    weights = nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", weights.astype(q.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, sq, hq * d).astype(q.dtype)
+
+
 def gqa_attention(
     x: jnp.ndarray,
     wq: jnp.ndarray, wk: jnp.ndarray, wv: jnp.ndarray, wo: jnp.ndarray,

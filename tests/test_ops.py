@@ -133,6 +133,23 @@ class TestGQA:
         out_m = multi_head_attention(x, *w, num_heads=4)
         np.testing.assert_allclose(out_g, out_m, atol=1e-5)
 
+    def test_bshd_layout_matches_bhsd(self):
+        """grouped_sdpa_bshd (projection-layout variant, a recorded round-5
+        negative result — see its docstring) ≡ transpose + grouped_sdpa."""
+        from physics_llm_inference_tpu.ops.gqa import (grouped_sdpa,
+                                                       grouped_sdpa_bshd)
+        b, sq, sk, hq, hkv, hd = 2, 8, 8, 4, 2, 16
+        q = rand(b, sq, hq, hd, key=jax.random.PRNGKey(21))
+        k = rand(b, sk, hkv, hd, key=jax.random.PRNGKey(22))
+        v = rand(b, sk, hkv, hd, key=jax.random.PRNGKey(23))
+        mask = (jnp.arange(sk)[None, :] <= jnp.arange(sq)[:, None])
+        out = grouped_sdpa_bshd(q, k, v, mask=mask[None, None, None])
+        ref = grouped_sdpa(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                           v.transpose(0, 2, 1, 3),
+                           mask=mask[None, None, None])
+        ref = ref.transpose(0, 2, 1, 3).reshape(b, sq, hq * hd)
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
     def test_grouped_matches_expanded_kv(self):
         # grouped einsum path ≡ repeat_interleave expansion (ref ch01/gqa.py:30-31)
         d, hq, hkv = 64, 8, 2
